@@ -1,0 +1,81 @@
+"""Crawl configuration.
+
+Mirrors the reference ``Crawler`` constructor options (public simplecrawler
+v1.1.9, ``lib/crawler.js:≈L200–440``) plus the engine-level knobs this
+Spark-native design needs (round budget, bucket count, dedupe tiers) and the
+``[VERIFY]`` oracle knobs from SURVEY.md Appendix A.
+
+Reference defaults preserved where the concept carries over:
+  * ``interval=250`` / ``maxConcurrency=5`` → per-round global budget
+    (Appendix C equivalence: one BSP round == one tick-batch).
+  * ``filterByDomain=True``, ``scanSubdomains=False``,
+    ``ignoreWWWDomain=True``, ``stripWWWDomain=False`` (``crawler.js:≈L240``).
+  * ``maxDepth=0`` (unlimited), ``maxResourceSize=16MiB``
+    (``crawler.js:≈L300``).
+  * ``respectRobotsTxt=True``, ``allowedProtocols=[http, https]``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class CrawlConfig:
+    # --- seed / scope (reference: crawler.js constructor) ---
+    seeds: list[str] = field(default_factory=list)
+    filter_by_domain: bool = True          # filterByDomain
+    scan_subdomains: bool = False          # scanSubdomains
+    ignore_www_domain: bool = True         # ignoreWWWDomain
+    strip_www_domain: bool = False         # stripWWWDomain
+    domain_whitelist: list[str] = field(default_factory=list)
+    allowed_protocols: list[str] = field(default_factory=lambda: [r"^http$", r"^https$"])
+
+    # --- URL processing (processURL, crawler.js:≈L740–820) ---
+    strip_querystring: bool = False        # stripQuerystring
+    sort_query_parameters: bool = False    # sortQueryParameters
+
+    # --- depth / size / MIME gates ---
+    max_depth: int = 0                     # maxDepth, 0 = unlimited
+    max_resource_size: int = 16 * 1024 * 1024  # maxResourceSize
+    supported_mime_types: list[str] = field(
+        default_factory=lambda: [r"^text/", r"^application/(rss|html|xhtml)?[+/-]?xml", r"^application/javascript", r"^xml"]
+    )
+    download_unsupported: bool = True      # downloadUnsupported
+
+    # --- robots ---
+    respect_robots_txt: bool = True        # respectRobotsTxt
+    user_agent: str = "simplecrawler-spark/0.1"
+
+    # --- scheduling (Appendix C: BSP round == reference tick-batch) ---
+    budget: int = 4096                     # global fetch budget per round (maxConcurrency analog)
+    host_budget: int = 0                   # per-host per-round cap; 0 = no per-host cap (reference parity)
+    max_rounds: int = 10_000               # runaway backstop
+    honor_crawl_delay: bool = False        # north_rule extension; off in reference-parity mode
+
+    # --- engine / scale knobs (no reference analog) ---
+    n_buckets: int = 32                    # url_seen hash-partition buckets (bloom/cuckoo sidecars per bucket)
+    shuffle_partitions: int = 32
+    dedupe_mode: str = "tiered"            # "exact" | "tiered" (bloom → cuckoo → exact)
+    bloom_bits_per_key: int = 10
+    seen_capacity: int = 2_000_000         # sizes the per-bucket bloom/cuckoo sidecars
+    hot_host_threshold: int = 100_000      # pending-count above which a host's window is salted (W2 skew split)
+    n_salts: int = 8
+
+    # --- [VERIFY] oracle knobs (SURVEY.md Appendix A; defaults = documented behavior) ---
+    depth_gate: str = "queue"              # A.1: gate children at queue time
+    admission_order: str = "protocol,domain,robots,conditions,dedupe"  # A.2
+    redirect_depth: str = "inc"            # A.3: redirect target depth = source + 1
+    frag_strip: str = "clean"              # A.4: fragments stripped at cleanup stage
+
+    # --- storage ---
+    warehouse: str = ""                    # snapshot root dir; empty = in-memory only (no resume)
+    seed_force: bool = False               # A.7
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "CrawlConfig":
+        return cls(**json.loads(s))

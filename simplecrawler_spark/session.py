@@ -1,0 +1,29 @@
+"""SparkSession builder with the engine's recommended conf.
+
+Local testing uses ``local[N]``; on a real cluster the same conf ships via
+``spark-submit --py-files`` (north_rule: pure-Python deployability — no
+custom jars, no Scala).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "simplecrawler-spark", master: str = "local[4]",
+              shuffle_partitions: int = 32, extra: dict | None = None) -> SparkSession:
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

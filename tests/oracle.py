@@ -1,0 +1,186 @@
+"""Single-threaded reference simulator (SURVEY.md §5.2 item 1).
+
+Plays the role of simplecrawler-under-its-test-server: a direct, sequential
+implementation of the reference semantics (FIFO queue + ``_scanIndex`` dict,
+``lib/queue.js``; admission pipeline and response handling,
+``lib/crawler.js``) over the same corpus tables, with BSP tick-batches per
+SURVEY.md Appendix C. The Spark engine must match it row-for-row on
+(crawl order, URL-seen set, per-item status, event counters).
+
+Deliberately shares the *pure functions* (canonicalizer, link cleanup,
+robots matcher, condition spec evaluator) with the engine — parity of those
+is by construction; what this file independently re-implements is the
+*orchestration*: ordering, batching, state machine, dedupe.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+from simplecrawler_spark.config import CrawlConfig
+from simplecrawler_spark.functions.canonicalize import canonicalize_one, split_host
+from simplecrawler_spark.functions.links import _clean_raw
+from simplecrawler_spark.functions.robots import robots_allows
+from simplecrawler_spark.operators.admission import eval_condition_py, seed_host_set
+
+
+@dataclass
+class OracleResult:
+    fetched_log: list = field(default_factory=list)  # (round, seq, url, depth, status)
+    seen: dict = field(default_factory=dict)         # url -> seq
+    events: Counter = field(default_factory=Counter)
+    rounds: int = 0
+
+
+class OracleCrawler:
+    def __init__(self, web_rows: list[dict], robots_rows: list[dict], cfg: CrawlConfig,
+                 fetch_conditions=None, download_conditions=None):
+        self.web = {r["url_norm"]: r for r in web_rows}
+        self.robots = {r["host"]: (list(r["disallow"] or []), list(r["allow"] or []))
+                       for r in robots_rows or []}
+        self.cfg = cfg
+        self.fc = fetch_conditions or []
+        self.dc = download_conditions or []
+        self.queue: list[dict] = []      # items, index == seq
+        self.seen: dict[str, int] = {}
+        self.events: Counter = Counter()
+        self.seed_hosts: list[str] = []
+
+    # --- shared-semantics helpers ---
+    def _canon(self, raw, base):
+        return canonicalize_one(
+            raw, base,
+            strip_querystring=self.cfg.strip_querystring,
+            sort_query_parameters=self.cfg.sort_query_parameters,
+            strip_www_domain=self.cfg.strip_www_domain)
+
+    def _protocol_ok(self, url: str) -> bool:
+        scheme = url.split("://", 1)[0].lower()
+        return any(re.search(p, scheme) for p in self.cfg.allowed_protocols)
+
+    def _domain_ok(self, host: str) -> bool:
+        cfg = self.cfg
+        if not cfg.filter_by_domain:
+            return True
+        hosts = seed_host_set(self.seed_hosts, cfg)
+        h = host[4:] if cfg.ignore_www_domain and host.startswith("www.") else host
+        if h in hosts or h in [w.lower() for w in cfg.domain_whitelist]:
+            return True
+        if cfg.scan_subdomains and any(h.endswith("." + s) for s in hosts):
+            return True
+        return False
+
+    def _robots_ok(self, url: str, host: str) -> bool:
+        if not self.cfg.respect_robots_txt or host not in self.robots:
+            return True
+        path = re.sub(r"^https?://[^/]+", "", url)
+        d, a = self.robots[host]
+        return robots_allows(path, d, a)
+
+    def _mime_supported(self, ct) -> bool:
+        return ct is not None and any(re.search(p, ct) for p in self.cfg.supported_mime_types)
+
+    # --- admission (A.2 order), one candidate ---
+    def _admit(self, url: str, depth: int, referrer, rnd: int) -> None:
+        host = split_host(url)
+        if not self._protocol_ok(url):
+            self.events["protocol"] += 1
+            return
+        if not self._domain_ok(host):
+            self.events["invaliddomain"] += 1
+            return
+        if not self._robots_ok(url, host):
+            self.events["fetchdisallowed"] += 1
+            return
+        if self.cfg.max_depth > 0 and depth > self.cfg.max_depth:
+            self.events["depth"] += 1
+            return
+        item = {"url_norm": url, "host": host, "depth": depth, "referrer": referrer}
+        if self.fc and not eval_condition_py(item, self.fc):
+            self.events["fetchprevented"] += 1
+            return
+        if url in self.seen:
+            self.events["queueduplicate"] += 1
+            return
+        seq = len(self.queue)
+        self.seen[url] = seq
+        self.queue.append({**item, "seq": seq, "status": "queued", "round_queued": rnd})
+        self.events["queueadd"] += 1
+
+    # --- fetch outcome (mirrors operators/fetch.classify order exactly) ---
+    def _classify(self, item: dict):
+        row = self.web.get(item["url_norm"])
+        if row is None:
+            return "failed", "fetcherror", None
+        code = row["status_code"]
+        if code == 304:
+            return "notmodified", "notmodified", row
+        if code in (301, 302) and row.get("redirect_to"):
+            return "redirected", "fetchredirect", row
+        if code in (404, 410):
+            return "notfound", "fetch410" if code == 410 else "fetch404", row
+        if row["body_size"] is not None and row["body_size"] > self.cfg.max_resource_size:
+            return "dataerror", "fetchdataerror", row
+        if self.dc and not eval_condition_py({**item, **{k: row[k] for k in
+                ("content_type", "body_size", "status_code")}}, self.dc):
+            return "downloadprevented", "downloadprevented", row
+        if not self._mime_supported(row["content_type"]) and not self.cfg.download_unsupported:
+            return "downloadprevented", "downloadprevented", row
+        return "downloaded", "fetchcomplete", row
+
+    def run(self) -> OracleResult:
+        cfg = self.cfg
+        seeds = [u for u in (self._canon(s, None) for s in cfg.seeds) if u is not None]
+        self.seed_hosts = [split_host(u) for u in seeds]
+        for u in seeds:
+            self._admit(u, 1, None, 0)
+        res = OracleResult()
+        rnd = 0
+        while rnd < cfg.max_rounds:
+            rnd += 1
+            remaining = [it for it in self.queue if it["status"] == "queued"]
+            if cfg.host_budget > 0:
+                rank: Counter = Counter()
+                batch = []
+                for it in remaining:  # queue order == seq order
+                    rank[it["host"]] += 1
+                    if rank[it["host"]] <= cfg.host_budget:
+                        batch.append(it)
+                batch = batch[: cfg.budget]
+            else:
+                batch = remaining[: cfg.budget]
+            if not batch:
+                rnd -= 1
+                break
+            candidates = []  # (parent_seq, link_idx, url, depth, referrer)
+            for it in batch:
+                status, event, row = self._classify(it)
+                it["status"] = status
+                self.events[event] += 1
+                res.fetched_log.append((rnd, it["seq"], it["url_norm"], it["depth"], status))
+                if status == "redirected":
+                    u = self._canon(row["redirect_to"], it["url_norm"])
+                    if u is not None:
+                        candidates.append((it["seq"], 0, u, it["depth"] + 1, it["url_norm"]))
+                elif status == "downloaded" and self._mime_supported(row["content_type"]):
+                    page_seen: set[str] = set()
+                    idx = 0
+                    for raw in row["links"] or []:
+                        cleaned = _clean_raw(raw) if raw is not None else None
+                        if cleaned is None:
+                            continue
+                        u = self._canon(cleaned, it["url_norm"])
+                        if u is None or u in page_seen:
+                            continue
+                        page_seen.add(u)
+                        idx += 1
+                        candidates.append((it["seq"], idx, u, it["depth"] + 1, it["url_norm"]))
+            candidates.sort(key=lambda c: (c[0], c[1]))
+            for _, _, url, depth, ref in candidates:
+                self._admit(url, depth, ref, rnd)
+        res.seen = dict(self.seen)
+        res.events = self.events
+        res.rounds = rnd
+        return res
