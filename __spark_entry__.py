@@ -1,38 +1,335 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2) over the
+driver's relational testdata, plus the training-data pipeline operators
+(dedup / similarity / text analysis) over ``documents``/``embeddings``.
+``oracle_sql()`` gives the DuckDB twin for every SQL-expressible entry —
+same column names, same rounding, deterministic ordering — so the driver's
+row-count + schema + value-hash comparison is exact. Non-SQL-expressible ops
+(MinHash/SimHash signatures, LSH ANN, fingerprints) are rows-only here and
+exactness-tested in pytest instead (tests/test_pipeline.py).
+
+The crawl engine itself (frontier/BSP loop) runs on its own generated corpus
+— covered by tests/test_crawl_parity.py and bench.py, not by these oracles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: the scheduler composite — per-host politeness window (W2) over an
+# orders-as-frontier, anti-join dedupe (J1), fetch join (J4), outcome agg (A5)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    orders = _t(spark, SF_DEFAULT, "orders")
+    customer = _t(spark, SF_DEFAULT, "customer")
+    nation = _t(spark, SF_DEFAULT, "nation")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    batch = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)                     # W2 host budget
+        .orderBy("o_orderkey").limit(500)            # W1 FIFO budget
+    )
+    seen = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    fresh = batch.join(seen, "o_orderkey", "left_anti")  # J1 anti-join
+    return (
+        fresh.join(customer, fresh.o_custkey == customer.c_custkey)  # J4
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("bytes_analog"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# operator queries (SURVEY.md §2 ids in the keys)
+# --------------------------------------------------------------------------
+
+def _w1_fifo_topk(spark, sf):
+    return (_t(spark, sf, "orders")
+            .select(F.col("o_orderkey").alias("seq"), F.col("o_custkey").alias("host"))
+            .orderBy("seq").limit(100))
+
+
+def _w2_host_budget(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (_t(spark, sf, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(F.col("o_orderkey").alias("seq"), F.col("o_custkey").alias("host")))
+
+
+def _j1_seen_antijoin(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti") \
+            .select("c_custkey")
+
+
+def _u3_first_wins(spark, sf):
+    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+    return (_t(spark, sf, "lineitem")
+            .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("l_partkey", "l_orderkey", "l_linenumber"))
+
+
+def _a1_queue_stats(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.max("l_quantity").alias("max_q"),
+        F.min("l_quantity").alias("min_q"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_q"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+def _a2_count_items(spark, sf):
+    return (_t(spark, sf, "events")
+            .where((F.col("event_type") == "error") & (F.col("value") > 5))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _a5_status_counts(spark, sf):
+    return (_t(spark, sf, "orders").groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _a6_distinct(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_distinct"))
+
+
+def _p1_domain_filter(spark, sf):
+    return (_t(spark, sf, "customer")
+            .where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+            .select("c_custkey", "c_name"))
+
+
+def _p5_depth_gate(spark, sf):
+    return (_t(spark, sf, "lineitem").where(F.col("l_linenumber") <= 3)
+            .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _j4_fetch_join(spark, sf):
+    o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")))
+
+
+def _j2_broadcast_lookup(spark, sf):
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("n_name", "r_name"))
+
+
+# ---- training-data pipeline ops ----
+
+def _dedup_exact(spark, sf):
+    from simplecrawler_spark.pipeline.dedup import exact_dupes
+    return exact_dupes(_t(spark, sf, "documents"))
+
+
+def _text_tokens(spark, sf):
+    from simplecrawler_spark.pipeline.text import token_counts
+    d = token_counts(_t(spark, sf, "documents"))
+    return d.select("doc_id", F.col("ws_tokens").cast("int").alias("ws_tokens"),
+                    F.col("bpe_tokens").cast("int").alias("bpe_tokens"))
+
+
+def _text_quality(spark, sf):
+    from simplecrawler_spark.pipeline.text import quality_scores
+    q = quality_scores(_t(spark, sf, "documents"))
+    return q.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_words").cast("int").alias("n_words"),
+                    "punct_ratio", "stopword_ratio", "mean_word_len")
+
+
+def _lang_id(spark, sf):
+    from simplecrawler_spark.pipeline.text import language_id
+    return language_id(_t(spark, sf, "documents"))
+
+
+def _fingerprints(spark, sf):
+    from simplecrawler_spark.pipeline.text import fingerprints
+    return fingerprints(_t(spark, sf, "documents"))
+
+
+def _ann_cosine_topk(spark, sf):
+    from simplecrawler_spark.pipeline.similarity import cosine_topk
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec], k=10)
+
+
+def _ann_lsh_topk(spark, sf):
+    from simplecrawler_spark.pipeline.similarity import ann_topk_lsh
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_topk_lsh(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec],
+                        k=10, n_bits=8, probe_hamming=1)
+
+
+def _minhash_near_dup(spark, sf):
+    from simplecrawler_spark.pipeline.dedup import minhash_signatures, minhash_pairs, jaccard_verify
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, num_perm=64)
+    return jaccard_verify(minhash_pairs(sigs, bands=16), docs, threshold=0.5)
+
+
+def _simhash_near_dup(spark, sf):
+    from simplecrawler_spark.pipeline.dedup import simhash_fingerprints, simhash_pairs
+    return simhash_pairs(simhash_fingerprints(_t(spark, sf, "documents")), max_hamming=3)
+
+
+def _embed_near_dup(spark, sf):
+    from simplecrawler_spark.pipeline.similarity import embedding_near_dupes
+    return embedding_near_dupes(_t(spark, sf, "embeddings"), threshold=0.98, n_bits=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w1_fifo_topk": _w1_fifo_topk,
+        "w2_host_budget": _w2_host_budget,
+        "j1_seen_antijoin": _j1_seen_antijoin,
+        "j2_broadcast_lookup": _j2_broadcast_lookup,
+        "j4_fetch_join": _j4_fetch_join,
+        "u3_first_wins": _u3_first_wins,
+        "a1_queue_stats": _a1_queue_stats,
+        "a2_count_items": _a2_count_items,
+        "a5_status_counts": _a5_status_counts,
+        "a6_distinct": _a6_distinct,
+        "p1_domain_filter": _p1_domain_filter,
+        "p5_depth_gate": _p5_depth_gate,
+        "dedup_exact": _dedup_exact,
+        "text_tokens": _text_tokens,
+        "text_quality": _text_quality,
+        "lang_id": _lang_id,
+        "fingerprints": _fingerprints,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "minhash_near_dup": _minhash_near_dup,
+        "simhash_near_dup": _simhash_near_dup,
+        "embed_near_dup": _embed_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_EN = r"\b(the|a|and|of|to|in|is|it)\b"
+_STOP_DE = r"\b(der|die|das|und|ist|nicht|ein)\b"
+_STOP_FR = r"\b(le|la|les|et|est|une|pas)\b"
+_WORD_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w1_fifo_topk": (
+            "SELECT o_orderkey AS seq, o_custkey AS host FROM orders "
+            "ORDER BY seq LIMIT 100"
+        ),
+        "w2_host_budget": (
+            "SELECT o_orderkey AS seq, o_custkey AS host FROM ("
+            " SELECT o_orderkey, o_custkey,"
+            "  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn"
+            " FROM orders) t WHERE rn <= 3"
+        ),
+        "j1_seen_antijoin": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "j2_broadcast_lookup": (
+            "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "j4_fetch_join": (
+            "SELECT n_name, COUNT(*) AS n_orders,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "u3_first_wins": (
+            "SELECT l_partkey, l_orderkey, l_linenumber FROM ("
+            " SELECT l_partkey, l_orderkey, l_linenumber,"
+            "  ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS rn"
+            " FROM lineitem) t WHERE rn = 1"
+        ),
+        "a1_queue_stats": (
+            "SELECT MAX(l_quantity) AS max_q, MIN(l_quantity) AS min_q,"
+            " ROUND(AVG(l_quantity), 6) AS avg_q,"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"
+            " FROM lineitem"
+        ),
+        "a2_count_items": (
+            "SELECT COUNT(*) AS n FROM events WHERE event_type = 'error' AND value > 5"
+        ),
+        "a5_status_counts": (
+            "SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+        ),
+        "a6_distinct": (
+            "SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem"
+        ),
+        "p1_domain_filter": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')"
+        ),
+        "p5_depth_gate": (
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+            "WHERE l_linenumber <= 3 GROUP BY l_returnflag"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,"
+            " COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "text_tokens": (
+            "SELECT doc_id,"
+            " CAST(CASE WHEN trim(text) = '' THEN 0"
+            "  ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS ws_tokens,"
+            f" CAST(len(regexp_extract_all(trim(text), '{_WORD_RE}')) AS INTEGER) AS bpe_tokens"
+            " FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id,"
+            " CAST(length(text) AS BIGINT) AS n_chars,"
+            " CAST(CASE WHEN trim(text) = '' THEN 0"
+            "  ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_words,"
+            " ROUND(len(regexp_extract_all(text, '[.,!?;:]'))"
+            "   / GREATEST(length(text), 1), 6) AS punct_ratio,"
+            f" ROUND(len(regexp_extract_all(lower(text), '{_STOP_EN}'))"
+            "   / GREATEST(CASE WHEN trim(text) = '' THEN 0"
+            "      ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 6) AS stopword_ratio,"
+            " ROUND(length(text) / GREATEST(CASE WHEN trim(text) = '' THEN 0"
+            "   ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 6) AS mean_word_len"
+            " FROM documents"
+        ),
+        "lang_id": (
+            "SELECT doc_id, CASE"
+            f" WHEN en >= de AND en >= fr AND en > 0 THEN 'en'"
+            f" WHEN de >= fr AND de > 0 THEN 'de'"
+            f" WHEN fr > 0 THEN 'fr'"
+            " ELSE 'unknown' END AS lang_pred FROM ("
+            f" SELECT doc_id, len(regexp_extract_all(lower(text), '{_STOP_EN}')) AS en,"
+            f" len(regexp_extract_all(lower(text), '{_STOP_DE}')) AS de,"
+            f" len(regexp_extract_all(lower(text), '{_STOP_FR}')) AS fr FROM documents) t"
+        ),
+        # fingerprints / minhash / simhash / LSH-ANN / embed_near_dup:
+        # intentionally omitted — not ANSI-SQL-expressible; rows-only check
+        # here, exactness covered by tests/test_pipeline.py.
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+            " SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS cosine"
+            " FROM embeddings e, q WHERE e.vec_id <> 0"
+            " ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+    }

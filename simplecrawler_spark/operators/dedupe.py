@@ -204,11 +204,14 @@ def filter_new(
         maybe = bloom_check(bits, h, k)
         if maybe.any():
             maybe[maybe] &= cuckoo_check(table, h[maybe])
-        if maybe.any() and paths:
-            bucket_dirs = [os.path.join(p, f"bucket={bucket}") for p in paths]
-            bucket_dirs = [d for d in bucket_dirs if os.path.isdir(d)]
-            if bucket_dirs:
-                ds = pads.dataset(bucket_dirs, format="parquet")
+        if maybe.any():
+            files = []
+            for p in paths:
+                d = os.path.join(p, f"bucket={bucket}")
+                if os.path.isdir(d):
+                    files += [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+            if files:
+                ds = pads.dataset(files, format="parquet")
                 tbl = ds.to_table(
                     columns=["url_hash"],
                     filter=pads.field("url_hash").isin(pd.unique(h[maybe])),

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * Brute-force cosine top-k — **pure built-ins** (`zip_with` dot product +
+    `aggregate` norms) so the scan stays in whole-stage codegen; top-k via
+    orderBy+limit (TakeOrderedAndProject — per-partition heap, no full sort).
+  * LSH-bucketed ANN — deterministic random-hyperplane signatures (seeded
+    numpy in one pandas-UDF pass), bucket equi-join, exact re-rank inside
+    buckets only. The scale path: shuffle is keyed by signature, candidate
+    set shrinks ~2^bits-fold.
+  * Embedding near-duplicate pairs — cosine ≥ τ within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force exact top-k by cosine vs one query vector — the baseline
+    and the verifier for the ANN path. JVM-side arithmetic only."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        embeddings.select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signatures(embeddings: DataFrame, n_bits: int = 8, seed: int = 42,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int | None = None) -> DataFrame:
+    """Sign-of-projection LSH signature (int bucket id). Hyperplanes are a
+    pure function of (seed, dim) — every executor regenerates them; nothing
+    is broadcast."""
+
+    def sign(batches):
+        H = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy())
+            if H is None:
+                rng = np.random.Generator(np.random.PCG64(seed))
+                H = rng.standard_normal((mat.shape[1], n_bits))
+            bits = (mat @ H) > 0
+            sig = (bits.astype(np.int64) << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "bucket": sig})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        sign, schema="vec_id long, bucket long")
+
+
+def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                 n_bits: int = 8, seed: int = 42, probe_hamming: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: restrict the exact cosine to vectors whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe), then re-rank
+    exactly. Recall/latency dial = (n_bits, probe_hamming)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    q = np.asarray(query_vec, dtype=np.float64)
+    H = rng.standard_normal((len(q), n_bits))
+    qsig = int(((q @ H) > 0).astype(np.int64) @ (1 << np.arange(n_bits)))
+    probes = [qsig]
+    if probe_hamming >= 1:
+        probes += [qsig ^ (1 << b) for b in range(n_bits)]
+    if probe_hamming >= 2:
+        probes += [qsig ^ (1 << b1) ^ (1 << b2)
+                   for b1 in range(n_bits) for b2 in range(b1 + 1, n_bits)]
+    sigs = hyperplane_signatures(embeddings, n_bits, seed, id_col, vec_col)
+    cand_ids = sigs.where(F.col("bucket").isin(probes)).select(id_col)
+    cands = embeddings.join(cand_ids, id_col)
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.95,
+                         n_bits: int = 12, seed: int = 42,
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate vector pairs: LSH-bucket equi-join (near-identical
+    vectors collide with high probability), exact cosine inside buckets."""
+    sigs = hyperplane_signatures(embeddings, n_bits, seed, id_col, vec_col)
+    e = embeddings.join(sigs, id_col)
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    cand = a.join(b, "bucket").where(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (cand.select("a", "b", F.round(cos, 4).alias("cosine"))
+            .where(F.col("cosine") >= threshold).distinct())

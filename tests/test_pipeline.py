@@ -1,0 +1,160 @@
+"""Training-data pipeline operator tests: planted exact/near duplicates,
+ANN recall vs brute force, multimodal batch plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from simplecrawler_spark import codec
+from simplecrawler_spark.pipeline import dedup, similarity, text, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.Generator(np.random.PCG64(7))
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(20, 60))
+        rows.append((i, " ".join(rng.choice(words, n))))
+    # planted exact duplicates
+    rows.append((100, rows[3][1]))
+    rows.append((101, rows[3][1]))
+    # planted near-duplicate (small edit)
+    rows.append((102, rows[5][1] + " omega"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dupes(spark, docs):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dupes(docs).collect()}
+    assert out[3] == 3
+    assert sum(out.values()) == docs.count()
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    sigs = dedup.minhash_signatures(docs, num_perm=64)
+    pairs = dedup.minhash_pairs(sigs, bands=16)
+    verified = dedup.jaccard_verify(pairs, docs, threshold=0.6)
+    got = {(r["a"], r["b"]) for r in verified.collect()}
+    assert (5, 102) in got
+    assert (3, 100) in got and (3, 101) in got and (100, 101) in got
+
+
+def test_minhash_jaccard_estimate_close_to_exact(spark, docs):
+    # signature agreement rate ≈ true Jaccard (property of MinHash)
+    sigs = {r["doc_id"]: np.array(r["signature"]) for r in
+            dedup.minhash_signatures(docs, num_perm=128).collect()}
+    ha = dedup._shingle_hashes(docs.where("doc_id=5").collect()[0]["text"], 5)
+    hb = dedup._shingle_hashes(docs.where("doc_id=102").collect()[0]["text"], 5)
+    inter = len(np.intersect1d(ha, hb))
+    true_j = inter / (len(ha) + len(hb) - inter)
+    est = (sigs[5] == sigs[102]).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_near_dup(spark, docs):
+    fps = dedup.simhash_fingerprints(docs)
+    pairs = dedup.simhash_pairs(fps, max_hamming=3)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (3, 100) in got and (100, 101) in got  # exact dupes: hamming 0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[7] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    df, base = embeddings
+    q = base[0]
+    got = [r["vec_id"] for r in similarity.cosine_topk(
+        df.where("vec_id != 0"), [float(x) for x in q], k=5).collect()]
+    sims = base @ q / (np.linalg.norm(base, axis=1) * np.linalg.norm(q))
+    sims[0] = -np.inf
+    want = list(np.argsort(np.round(-sims, 4), kind="stable")[:5])
+    assert got == [int(x) for x in want]
+
+
+def test_ann_lsh_recall(spark, embeddings):
+    df, base = embeddings
+    q = base[0]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(
+        df.where("vec_id != 0"), [float(x) for x in q], k=5).collect()}
+    ann = {r["vec_id"] for r in similarity.ann_topk_lsh(
+        df.where("vec_id != 0"), [float(x) for x in q], k=5,
+        n_bits=5, probe_hamming=2).collect()}
+    assert len(exact & ann) >= 3  # recall ≥ 0.6 with multi-probe on tiny data
+
+
+def test_embedding_near_dupes(spark, embeddings):
+    df, _ = embeddings
+    got = {(r["a"], r["b"]) for r in
+           similarity.embedding_near_dupes(df, threshold=0.99, n_bits=6).collect()}
+    assert (3, 7) in got
+
+
+def test_text_operators_deterministic(spark, docs):
+    tc = text.token_counts(docs).collect()
+    assert all(r["ws_tokens"] > 0 for r in tc if r["doc_id"] < 100)
+    q = text.quality_scores(docs).collect()
+    assert all(0 <= r["stopword_ratio"] <= 1 for r in q)
+    langs = text.language_id(spark.createDataFrame(
+        [(1, "the cat and the dog of it is"), (2, "der hund ist nicht ein"),
+         (3, "le chat est une pas"), (4, "xyzzy")],
+        "doc_id long, text string")).collect()
+    assert {r["doc_id"]: r["lang_pred"] for r in langs} == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+    fp = text.fingerprints(docs)
+    vals = {r["doc_id"]: r["fp64"] for r in fp.collect()}
+    assert vals[3] == vals[100] == vals[101]
+    assert vals[3] != vals[5]
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rows = []
+    for i in range(8):
+        rng = np.random.Generator(np.random.PCG64(i))
+        img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+        fmt = "png" if i % 2 == 0 else "ppm"
+        rows.append((f"img-{i}", bytearray(codec.encode(img, fmt)), 32, 32, fmt,
+                     f"cap {i}", codec.average_hash(img)))
+    # duplicate image under a new id → phash near-dup (hamming 0)
+    rows.append(("img-dup", rows[0][1], 32, 32, "png", "cap dup", rows[0][6]))
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+
+
+def test_image_features(spark, images_df):
+    out = multimodal.image_features(images_df).collect()
+    by_id = {r["image_id"]: r for r in out}
+    assert len(out) == 9
+    assert by_id["img-0"]["phash"] == by_id["img-dup"]["phash"]
+    assert all(0 <= r["brightness"] <= 255 for r in out)
+
+
+def test_image_resize(spark, images_df):
+    out = multimodal.image_resize(images_df, 8, 8).collect()
+    for r in out:
+        img = codec.png_decode(bytes(r["bytes"]))
+        assert img.shape == (8, 8, 3)
+
+
+def test_phash_near_dupes(spark, images_df):
+    pairs = multimodal.phash_near_dupes(images_df, max_hamming=0).collect()
+    got = {frozenset((r["image_a"], r["image_b"])) for r in pairs}
+    assert frozenset(("img-0", "img-dup")) in got
+
+
+def test_audio_stub_plumbing(spark):
+    rows = [("m1", (16000).to_bytes(4, "big") + b"xx"), ("m2", None)]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    out = {r["media_id"]: r for r in multimodal.audio_features(df).collect()}
+    assert out["m1"]["feature_ok"] and abs(out["m1"]["duration_s"] - 1.0) < 1e-9
+    assert not out["m2"]["feature_ok"]
