@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the crawl engine end-to-end (BSP frontier expansion to
+fixpoint on a deterministic 60k-URL synthetic web, tiered dedupe, payload
+verify) + the heaviest operator queries from ``__spark_entry__`` at the
+given scale factor. Also reports ``crawl_urls_per_sec`` (the BASELINE.md
+throughput metric). Scaling evidence (local[8] vs local[32]) is produced by
+``bench/scaling.py`` and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "60000"))
+BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "8192"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_corpus_dir(spark, n_urls: int) -> tuple[str, object]:
+    """Deterministic bench corpus, cached across runs (generation excluded
+    from timings)."""
+    from simplecrawler_spark.corpus import CorpusParams, write_corpus
+
+    p = CorpusParams(n_urls=n_urls, n_hosts=max(n_urls // 2000, 8), seed=42, frac_image=0.08)
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_bench_corpus_{n_urls}_{p.seed}")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        write_corpus(spark, d, p)
+        open(marker, "w").close()
+    return d, p
+
+
+def run_crawl_bench(spark, corpus_dir: str, p) -> tuple[float, int, int]:
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.plans.crawl import run_crawl
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    cfg = CrawlConfig(
+        seeds=["http://host0.example/p/0"], budget=BUDGET,
+        filter_by_domain=False, dedupe_mode="tiered",
+        seen_capacity=max(CRAWL_URLS * 2, 200_000), n_buckets=32,
+        shuffle_partitions=CPUS, warehouse=wh, max_rounds=200,
+    )
+    t0 = time.time()
+    res = run_crawl(spark, cfg, corpus_dir, corpus_params=p)
+    n = res.fetched_log(spark).count()
+    dt = time.time() - t0
+    shutil.rmtree(wh, ignore_errors=True)
+    return dt, n, res.rounds
+
+
+def main() -> None:
+    from simplecrawler_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    corpus_dir, p = bench_corpus_dir(spark, CRAWL_URLS)
+    crawl_s, crawl_n, crawl_rounds = run_crawl_bench(spark, corpus_dir, p)
+    timings["crawl_bsp_fixpoint"] = round(crawl_s, 3)
+
+    headline = [
+        "j4_fetch_join", "w2_host_budget", "u3_first_wins", "j1_seen_antijoin",
+        "a1_queue_stats", "dedup_exact", "text_quality", "lang_id",
+        "minhash_near_dup", "simhash_near_dup", "ann_cosine_topk",
+    ]
+    queries = entry_mod.queries()
+    for name in headline:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "crawl_urls_per_sec": round(crawl_n / crawl_s, 1),
+        "crawl_rounds": crawl_rounds,
+        "crawl_urls_fetched": crawl_n,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Single timed crawl run for the scaling protocol (BASELINE.md §3).
+
+Usage:
+    spark-submit --py-files dist/engine.zip bench/run_crawl.py \
+        --master-cores 8 --urls 60000 --budget 8192 --corpus /tmp/corpus
+
+Prints one JSON line: {"cores": N, "urls": n, "seconds": s, "urls_per_sec": r,
+"rounds": k}. The corpus must already exist (generate with --prepare so
+generation time never pollutes the timing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--urls", type=int, default=60000)
+    ap.add_argument("--budget", type=int, default=8192)
+    ap.add_argument("--corpus", default=None)
+    ap.add_argument("--prepare", action="store_true", help="only generate the corpus")
+    ap.add_argument("--images", action="store_true", help="verify payloads during crawl")
+    args = ap.parse_args()
+
+    from simplecrawler_spark.session import get_spark
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.corpus import CorpusParams, write_corpus
+    from simplecrawler_spark.plans.crawl import run_crawl
+
+    p = CorpusParams(n_urls=args.urls, n_hosts=max(args.urls // 2000, 8),
+                     seed=42, frac_image=0.08)
+    corpus = args.corpus or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_corpus_{args.urls}_{p.seed}")
+    spark = get_spark(app=f"crawl-bench-{args.cores}", master=f"local[{args.cores}]",
+                      shuffle_partitions=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.prepare or not os.path.exists(os.path.join(corpus, "_DONE")):
+        if os.path.isdir(corpus):
+            shutil.rmtree(corpus)
+        write_corpus(spark, corpus, p)
+        open(os.path.join(corpus, "_DONE"), "w").close()
+        if args.prepare:
+            print(json.dumps({"prepared": corpus, "urls": args.urls}))
+            return
+
+    wh = tempfile.mkdtemp(prefix=f"bench_wh_{args.cores}_")
+    cfg = CrawlConfig(
+        seeds=["http://host0.example/p/0"], budget=args.budget,
+        filter_by_domain=False, dedupe_mode="tiered",
+        seen_capacity=max(args.urls * 2, 200_000), n_buckets=32,
+        shuffle_partitions=args.cores, warehouse=wh, max_rounds=500,
+    )
+    t0 = time.time()
+    res = run_crawl(spark, cfg, corpus, corpus_params=p, with_images=args.images)
+    n = res.fetched_log(spark).count()
+    dt = time.time() - t0
+    shutil.rmtree(wh, ignore_errors=True)
+    print(json.dumps({"cores": args.cores, "urls": int(n),
+                      "seconds": round(dt, 2), "urls_per_sec": round(n / dt, 1),
+                      "rounds": res.rounds}))
+
+
+if __name__ == "__main__":
+    main()

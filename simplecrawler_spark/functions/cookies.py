@@ -1,0 +1,115 @@
+"""D8 — cookie jar (reference: ``lib/cookies.js``, ≈570 LoC: ``Cookie``
+parse/match/serialize + ``CookieJar`` add/get/outbound-header).
+
+Off the hot path (only needed to construct real-fetch request headers), so
+this is a faithful pure-Python port of the *semantics*: ``Set-Cookie``
+parsing, domain/path matching (RFC 6265 §5.1.3/§5.1.4), expiry, and the
+outbound ``Cookie:`` header. The jar also round-trips through a DataFrame
+(``cookies`` table) for snapshot/restore alongside the crawl state.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from email.utils import parsedate_to_datetime
+
+
+@dataclass
+class Cookie:
+    name: str
+    value: str = ""
+    domain: str = "*"
+    path: str = "/"
+    expires: float | None = None     # epoch seconds; None = session cookie
+    httponly: bool = False
+    secure: bool = False
+
+    @classmethod
+    def from_set_cookie(cls, header: str, request_host: str = "*") -> "Cookie":
+        parts = [p.strip() for p in header.split(";")]
+        name, _, value = parts[0].partition("=")
+        c = cls(name=name.strip(), value=value.strip(), domain=request_host)
+        for p in parts[1:]:
+            k, _, v = p.partition("=")
+            k, v = k.strip().lower(), v.strip()
+            if k == "domain" and v:
+                c.domain = v.lstrip(".").lower()
+            elif k == "path" and v:
+                c.path = v
+            elif k == "expires" and v:
+                try:
+                    c.expires = parsedate_to_datetime(v).timestamp()
+                except (TypeError, ValueError):
+                    pass
+            elif k == "max-age" and v:
+                try:
+                    c.expires = time.time() + float(v)
+                except ValueError:
+                    pass
+            elif k == "httponly":
+                c.httponly = True
+            elif k == "secure":
+                c.secure = True
+        return c
+
+    def matches_domain(self, host: str) -> bool:
+        if self.domain == "*":
+            return True
+        host = host.lower().rstrip(".")
+        return host == self.domain or host.endswith("." + self.domain)
+
+    def matches_path(self, path: str) -> bool:
+        if not path.startswith(self.path):
+            return False
+        return (self.path.endswith("/") or len(path) == len(self.path)
+                or path[len(self.path)] == "/")
+
+    def expired(self, now: float | None = None) -> bool:
+        return self.expires is not None and self.expires <= (now or time.time())
+
+    def header_pair(self) -> str:
+        return f"{self.name}={self.value}"
+
+
+@dataclass
+class CookieJar:
+    cookies: list[Cookie] = field(default_factory=list)
+
+    def add_from_headers(self, set_cookie_headers: list[str] | str, host: str = "*") -> None:
+        if isinstance(set_cookie_headers, str):
+            set_cookie_headers = [set_cookie_headers]
+        for h in set_cookie_headers:
+            self.add(Cookie.from_set_cookie(h, host))
+
+    def add(self, cookie: Cookie) -> None:
+        # same (name, domain, path) replaces — reference CookieJar.add
+        self.cookies = [
+            c for c in self.cookies
+            if not (c.name == cookie.name and c.domain == cookie.domain and c.path == cookie.path)
+        ]
+        self.cookies.append(cookie)
+
+    def get(self, host: str, path: str = "/", now: float | None = None) -> list[Cookie]:
+        return [c for c in self.cookies
+                if c.matches_domain(host) and c.matches_path(path) and not c.expired(now)]
+
+    def outbound_header(self, host: str, path: str = "/", now: float | None = None) -> str:
+        """The ``Cookie:`` request header (reference ``getAsHeader``,
+        ``lib/cookies.js:≈L420``)."""
+        return "; ".join(c.header_pair() for c in self.get(host, path, now))
+
+    # --- table round-trip (snapshot alongside crawl state) ---
+    def to_rows(self) -> list[tuple]:
+        return [(c.name, c.value, c.domain, c.path, c.expires, c.httponly, c.secure)
+                for c in self.cookies]
+
+    SCHEMA = ("name string, value string, domain string, path string, "
+              "expires double, httponly boolean, secure boolean")
+
+    @classmethod
+    def from_rows(cls, rows) -> "CookieJar":
+        jar = cls()
+        for r in rows:
+            jar.cookies.append(Cookie(r[0], r[1], r[2], r[3], r[4], bool(r[5]), bool(r[6])))
+        return jar

@@ -234,11 +234,15 @@ def register_new(
     bits_per_key: int,
 ) -> None:
     """Append the round's new URLs to the seen table (bucket-partitioned
-    parquet delta) and OR them into the per-bucket sidecars (one task per
-    bucket; idempotent under task retry)."""
+    parquet delta) and OR them into the per-bucket sidecars — ONE job: each
+    bucket's task writes its parquet file (pyarrow, atomic tmp+rename) and
+    its sidecars together. Idempotent under task retry (bit-OR / slot-insert
+    / file overwrite)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     bloom_bytes, k, nb = sidecar_params(seen_capacity, n_buckets, bits_per_key)
     delta = with_bucket(new_df.select("url_hash", "url_norm", "seq"), n_buckets)
-    delta.write.mode("overwrite").partitionBy("bucket").parquet(seen_round_dir)
 
     def update(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])
@@ -250,6 +254,14 @@ def register_new(
                 f"cuckoo sidecar bucket={bucket} overflow — raise seen_capacity"
             )
         save_sidecars(warehouse_root, bucket, bits, table)
+        bdir = os.path.join(seen_round_dir, f"bucket={bucket}")
+        os.makedirs(bdir, exist_ok=True)
+        out = os.path.join(bdir, "part-0.parquet")
+        tmp = out + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pandas(pdf[["url_hash", "url_norm", "seq"]],
+                                 preserve_index=False), tmp)
+        os.replace(tmp, out)
         return pd.DataFrame({"bucket": [bucket], "n": [len(h)]})
 
     (
@@ -257,6 +269,9 @@ def register_new(
         .applyInPandas(update, schema="bucket int, n long")
         .collect()
     )
+    # _SUCCESS marker so Spark's recursive reads treat the dir normally
+    os.makedirs(seen_round_dir, exist_ok=True)
+    open(os.path.join(seen_round_dir, "_SUCCESS"), "w").close()
 
 
 def rebuild_sidecars(spark, warehouse_root: str, seen_paths: list[str],

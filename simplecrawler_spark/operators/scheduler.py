@@ -46,9 +46,10 @@ def select_batch(remaining: DataFrame, budget: int, host_budget: int = 0,
     return stage2.drop("_salt", "_r1", "_r2").orderBy("seq").limit(budget)
 
 
-def assign_seq(cands: DataFrame, next_seq: int, n_parts: int = 32) -> DataFrame:
+def assign_seq(cands: DataFrame, next_seq: int, n_parts: int = 32,
+               bounds: tuple[int, int] | None = None) -> tuple[DataFrame, int]:
     """Deterministic global ``seq`` for admitted candidates, ordered by
-    (parent_seq, link_idx) — Appendix C rule.
+    (parent_seq, link_idx) — Appendix C rule. Returns (df, n_assigned).
 
     Scale path (no single global window): candidates are bucketed into
     deterministic ``parent_seq`` ranges (NOT sampled range partitioning —
@@ -56,14 +57,19 @@ def assign_seq(cands: DataFrame, next_seq: int, n_parts: int = 32) -> DataFrame:
     bucket, sorted within partitions, then a two-pass offset scheme assigns
     ``seq = next_seq + bucket_offset + intra_rank``. All determinism comes
     from the data, never from row arrival order.
+
+    ``bounds`` = (min_parent_seq, max_parent_seq) if the caller already knows
+    them (the crawl loop does: candidates' parents are the fetch batch) —
+    passing them saves one aggregation job per round.
     """
-    stats = cands.agg(
-        F.min("parent_seq").alias("lo"), F.max("parent_seq").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if stats["n"] == 0:
-        return cands.withColumn("seq", F.lit(0).cast("long")).limit(0)
-    lo, hi = int(stats["lo"]), int(stats["hi"])
+    if bounds is None:
+        stats = cands.agg(
+            F.min("parent_seq").alias("lo"), F.max("parent_seq").alias("hi"),
+        ).collect()[0]
+        if stats["lo"] is None:
+            return cands.withColumn("seq", F.lit(0).cast("long")).limit(0), 0
+        bounds = (int(stats["lo"]), int(stats["hi"]))
+    lo, hi = bounds
     span = max(hi - lo + 1, 1)
     nb = min(n_parts, span)
     b = cands.withColumn(
@@ -74,6 +80,8 @@ def assign_seq(cands: DataFrame, next_seq: int, n_parts: int = 32) -> DataFrame:
         r["_bkt"]: r["cnt"]
         for r in b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    if not counts:
+        return b.drop("_bkt").withColumn("seq", F.lit(0).cast("long")).limit(0), 0
     offsets: dict[int, int] = {}
     acc = 0
     for k in sorted(counts):
@@ -89,4 +97,4 @@ def assign_seq(cands: DataFrame, next_seq: int, n_parts: int = 32) -> DataFrame:
         pdf["seq"] = np.arange(len(pdf), dtype=np.int64) + next_seq + offsets[bkt]
         return pdf
 
-    return b.groupBy("_bkt").applyInPandas(number, schema=out_schema)
+    return b.groupBy("_bkt").applyInPandas(number, schema=out_schema), acc

@@ -110,6 +110,13 @@ class CrawlEngine:
         self.wh = Warehouse(root)
         self.events: dict[str, int] = {}
         self.seed_hosts: list[str] = []
+        self.phase_secs: dict[str, float] = {}  # perf diagnostics per phase
+
+    def _tick(self, phase: str, t0: float) -> float:
+        import time as _t
+        now = _t.time()
+        self.phase_secs[phase] = self.phase_secs.get(phase, 0.0) + (now - t0)
+        return now
 
     # ---- helpers ----
     def _bump(self, name: str, n: int) -> None:
@@ -143,13 +150,19 @@ class CrawlEngine:
         return queued.join(F.broadcast(fetched), "seq", "left_anti")
 
     def _admit_dedupe_assign(self, cands: DataFrame, rnd: int, next_seq: int,
-                             seen_df_exact: DataFrame | None) -> tuple[DataFrame, int, list]:
-        """Shared by seeding (round 0) and discovery: gates → dedupe → seq."""
+                             seen_df_exact: DataFrame | None,
+                             bounds: tuple[int, int] | None = None) -> tuple[int, list]:
+        """Shared by seeding (round 0) and discovery: gates → dedupe → seq.
+        ``bounds`` = known (min,max) parent_seq of the candidates (the fetch
+        batch's seq range) — saves an aggregation job."""
+        import time as _t
         cfg = self.cfg
+        t = _t.time()
         gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions)
         gated = gated.persist()
         rejects = {r["reject"]: r["cnt"] for r in
                    gated.groupBy("reject").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        t = self._tick("admit_gates", t)
         metrics_rows = []
         for reason, cnt in rejects.items():
             if reason is not None:
@@ -163,25 +176,28 @@ class CrawlEngine:
         seen_paths = self.wh.round_paths("seen", rnd - 1) if rnd > 0 else []
         new = dd.filter_new(
             first, self.wh.root, seen_paths, cfg.n_buckets,
-            seen_capacity=getattr(cfg, "seen_capacity", 2_000_000),
+            seen_capacity=cfg.seen_capacity,
             bits_per_key=cfg.bloom_bits_per_key, mode=cfg.dedupe_mode,
             spark=self.spark, seen_df=seen_df_exact,
         )
-        numbered = assign_seq(new.drop("bucket") if "bucket" in new.columns else new,
-                              next_seq, n_parts=cfg.shuffle_partitions).persist()
+        new = (new.drop("bucket") if "bucket" in new.columns else new).persist()
+        numbered, n_new = assign_seq(new, next_seq,
+                                     n_parts=cfg.shuffle_partitions, bounds=bounds)
+        t = self._tick("dedupe_assign_counts", t)
+        numbered = numbered.persist()
         queued = numbered.withColumn("round_queued", F.lit(rnd)).select(*QUEUED_COLS, "round_queued")
         queued.write.mode("overwrite").parquet(self.wh.round_dir("queued", rnd))
-        n_new = self.spark.read.parquet(self.wh.round_dir("queued", rnd)).count()
+        t = self._tick("queued_write", t)
 
-        # seen delta (+ sidecars in tiered mode)
-        seen_src = self.spark.read.parquet(self.wh.round_dir("queued", rnd))
+        # seen delta (+ sidecars in tiered mode) — reuse the persisted delta
+        seen_src = numbered.select("url_hash", "url_norm", "seq")
         if cfg.dedupe_mode == "tiered":
             dd.register_new(seen_src, self.wh.root, self.wh.round_dir("seen", rnd),
-                            cfg.n_buckets, getattr(cfg, "seen_capacity", 2_000_000),
-                            cfg.bloom_bits_per_key)
+                            cfg.n_buckets, cfg.seen_capacity, cfg.bloom_bits_per_key)
         else:
-            dd.with_bucket(seen_src.select("url_hash", "url_norm", "seq"), cfg.n_buckets) \
+            dd.with_bucket(seen_src, cfg.n_buckets) \
                 .write.mode("overwrite").partitionBy("bucket").parquet(self.wh.round_dir("seen", rnd))
+        t = self._tick("seen_write", t)
 
         dupes = n_admitted - n_new
         metrics_rows.append(("queueadd", n_new))
@@ -189,8 +205,9 @@ class CrawlEngine:
         for name, cnt in metrics_rows:
             self._bump(name, cnt)
         gated.unpersist()
+        new.unpersist()
         numbered.unpersist()
-        return queued, n_new, metrics_rows
+        return n_new, metrics_rows
 
     # ---- lifecycle ----
     def seed(self) -> tuple[int, int]:
@@ -213,13 +230,13 @@ class CrawlEngine:
             rows, "parent_seq long, link_idx int, url_norm string, depth int, referrer string"
         )
         cands = _with_host_hash(cands)
-        _, n_new, metrics_rows = self._admit_dedupe_assign(cands, 0, 0, None)
+        n_new, metrics_rows = self._admit_dedupe_assign(cands, 0, 0, None, bounds=(-1, -1))
         self._write_metrics(0, metrics_rows)
         self.wh.commit(0, {"next_seq": n_new, "watermark": 0, "queued": n_new,
                            "config": cfg.to_json(), "seed_hosts": self.seed_hosts})
         return n_new, 0
 
-    def resume_state(self) -> tuple[int, int, int]:
+    def resume_state(self) -> tuple[int, int, int, int]:
         """S5 — defrost: last committed manifest wins; orphan round dirs from
         a crashed round are dropped; sidecars rebuilt from committed deltas."""
         last = self.wh.latest_round()
@@ -234,21 +251,36 @@ class CrawlEngine:
                                 self.cfg.n_buckets,
                                 getattr(self.cfg, "seen_capacity", 2_000_000),
                                 self.cfg.bloom_bits_per_key)
-        return last, int(m["next_seq"]), int(m["watermark"])
+        return last, int(m["next_seq"]), int(m["watermark"]), int(m["queued"])
 
     def run(self, resume: bool = False) -> CrawlResult:
         cfg = self.cfg
         if resume:
-            rnd, next_seq, watermark = self.resume_state()
+            rnd, next_seq, watermark, n_left = self.resume_state()
         else:
             next_seq, _ = self.seed()
-            rnd, watermark = 0, 0
+            rnd, watermark, n_left = 0, 0, next_seq
+        rnd, next_seq, watermark, n_left = self.run_rounds(rnd, next_seq, watermark, n_left)
+        return CrawlResult(self.wh, rnd, next_seq, dict(self.events))
+
+    def run_rounds(self, rnd: int, next_seq: int, watermark: int, n_left: int,
+                   n_rounds: int | None = None) -> tuple[int, int, int, int]:
+        """Advance up to ``n_rounds`` BSP rounds (None = run to fixpoint).
+        Step function shared by ``run()`` and the Structured Streaming
+        wrapper (streaming/stream.py: one micro-batch == one round)."""
+        cfg = self.cfg
         seen_df_exact = None
         canon = _canon_udf(cfg)
         clean = _clean_links_udf(cfg)
+        done = 0
 
-        while rnd < cfg.max_rounds:
+        import time as _t
+
+        while (rnd < cfg.max_rounds and n_left > 0
+               and (n_rounds is None or done < n_rounds)):
             rnd += 1
+            done += 1
+            t = _t.time()
             if cfg.dedupe_mode == "exact":
                 seen_paths = self.wh.round_paths("seen", rnd - 1)
                 seen_df_exact = (
@@ -258,11 +290,18 @@ class CrawlEngine:
             remaining = self._remaining(rnd - 1, watermark)
             batch = select_batch(remaining, cfg.budget, cfg.host_budget,
                                  cfg.hot_host_threshold, cfg.n_salts).persist()
-            n_batch = batch.count()
+            bstats = batch.agg(
+                F.count(F.lit(1)).alias("n"), F.min("seq").alias("lo"),
+                F.max("seq").alias("hi"),
+            ).collect()[0]
+            n_batch = int(bstats["n"])
+            t = self._tick("select_batch", t)
             if n_batch == 0:
                 batch.unpersist()
                 rnd -= 1
+                n_left = 0
                 break
+            b_lo, b_hi = int(bstats["lo"]), int(bstats["hi"])
 
             outcomes = classify(fetch_batch(batch, self.web), cfg,
                                 self.download_conditions).persist()
@@ -283,10 +322,12 @@ class CrawlEngine:
                             "content_type", "body_size", "image_id", "caption",
                             "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched")
              .write.mode("overwrite").parquet(self.wh.round_dir("fetched", rnd)))
+            t = self._tick("fetch_write", t)
             ev_rows = [(r["event"], r["cnt"]) for r in
                        outcomes.groupBy("event").agg(F.count(F.lit(1)).alias("cnt")).collect()]
             for name, cnt in ev_rows:
                 self._bump(name, cnt)
+            t = self._tick("event_counts", t)
 
             # --- discovery (F2/F3) + redirect re-entry (J5) ---
             pages = (
@@ -312,25 +353,31 @@ class CrawlEngine:
             )
             cands = _with_host_hash(page_cands.unionByName(redir_cands))
 
-            _, n_new, metrics_rows = self._admit_dedupe_assign(cands, rnd, next_seq, seen_df_exact)
+            n_new, metrics_rows = self._admit_dedupe_assign(
+                cands, rnd, next_seq, seen_df_exact, bounds=(b_lo, b_hi))
+            t = self._tick("admit_dedupe_assign", t)
             next_seq += n_new
+            n_left = n_left - n_batch + n_new
             metrics_rows = ev_rows + metrics_rows
             self._write_metrics(rnd, metrics_rows)
+            t = self._tick("metrics_write", t)
 
-            # new watermark: min unfetched seq (cheap agg over pruned remaining)
-            rem_after = self._remaining(rnd, watermark)
-            row = rem_after.agg(F.min("seq").alias("lo"), F.count(F.lit(1)).alias("n")).collect()[0]
-            n_left = row["n"]
-            watermark = int(row["lo"]) if row["lo"] is not None else next_seq
+            # watermark is a *pruning lower bound* on unfetched seq, not a
+            # correctness input: in FIFO mode the batch is the seq-prefix so
+            # the bound advances past it for free; with host budgets we
+            # refresh it exactly every 8 rounds (one small agg).
+            if cfg.host_budget <= 0:
+                watermark = b_hi + 1 if n_left else next_seq
+            elif n_left and rnd % 8 == 0:
+                row = self._remaining(rnd, watermark).agg(F.min("seq").alias("lo")).collect()[0]
+                watermark = int(row["lo"]) if row["lo"] is not None else next_seq
             self.wh.commit(rnd, {"next_seq": next_seq, "watermark": watermark,
                                  "queued": int(n_left), "batch": int(n_batch),
                                  "config": cfg.to_json(), "seed_hosts": self.seed_hosts})
             outcomes.unpersist()
             batch.unpersist()
-            if n_left == 0:
-                break
 
-        return CrawlResult(self.wh, rnd, next_seq, dict(self.events))
+        return rnd, next_seq, watermark, n_left
 
 
 def run_crawl(spark: SparkSession, cfg: CrawlConfig, corpus_dir: str,

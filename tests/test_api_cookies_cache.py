@@ -1,0 +1,79 @@
+"""Crawler API facade, cookie jar semantics, fetch-cache table, streaming
+wrapper state-step."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simplecrawler_spark.api import Crawler, InvalidStatisticError
+from simplecrawler_spark.corpus import CorpusParams, write_corpus
+from simplecrawler_spark.functions.cookies import Cookie, CookieJar
+from simplecrawler_spark.operators.cache import cache_delta_from_fetched
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus_api"))
+    write_corpus(spark, d, CorpusParams(n_urls=300, n_hosts=3, seed=44))
+    return d
+
+
+def test_crawler_facade_end_to_end(spark, corpus, tmp_path):
+    c = Crawler(spark, "http://host0.example/p/0", corpus_dir=corpus,
+                filter_by_domain=False, budget=64, max_rounds=100,
+                dedupe_mode="exact", warehouse=str(tmp_path / "wh"))
+    cid = c.add_fetch_condition({"field": "url_norm", "op": "not_contains", "value": "/p/9"})
+    c.queue_url("http://host1.example/p/1")
+    res = c.start()
+    assert res.rounds >= 1
+    assert c.queue_max("actualDataSize") >= c.queue_min("actualDataSize")
+    assert c.queue_avg("contentLength") > 0
+    with pytest.raises(InvalidStatisticError):
+        c.queue_max("nonsense")
+    n404 = c.count_items({"status": "notfound"})
+    assert n404 == res.events.get("fetch404", 0) + res.events.get("fetch410", 0)
+    assert c.queue_length() >= c._fetched().count()
+    assert res.events.get("fetchprevented", 0) > 0  # the condition bit
+    c.remove_fetch_condition(cid)
+    with pytest.raises(ValueError):
+        c.remove_fetch_condition(cid)
+
+
+def test_cookie_parse_match_expiry_header():
+    c = Cookie.from_set_cookie(
+        "sid=abc123; Domain=.Example.com; Path=/app; Max-Age=100; HttpOnly; Secure",
+        "www.example.com")
+    assert c.name == "sid" and c.value == "abc123"
+    assert c.domain == "example.com" and c.path == "/app"
+    assert c.httponly and c.secure and not c.expired()
+    assert c.matches_domain("sub.example.com") and c.matches_domain("example.com")
+    assert not c.matches_domain("notexample.com")
+    assert c.matches_path("/app") and c.matches_path("/app/x")
+    assert not c.matches_path("/application")
+
+    jar = CookieJar()
+    jar.add_from_headers(["a=1; Path=/", "b=2; Path=/x"], "h.example")
+    jar.add_from_headers("a=9; Path=/", "h.example")  # replaces a=1
+    assert jar.outbound_header("h.example", "/x") == "a=9; b=2"
+    assert jar.outbound_header("h.example", "/") == "a=9"
+
+    expired = Cookie.from_set_cookie("old=1; Expires=Thu, 01 Jan 1970 00:00:00 GMT", "h")
+    jar.add(expired)
+    assert "old" not in jar.outbound_header("h", "/")
+
+    jar2 = CookieJar.from_rows(jar.to_rows())
+    assert jar2.outbound_header("h.example", "/x") == jar.outbound_header("h.example", "/x")
+
+
+def test_cache_delta_shape(spark, corpus, tmp_path):
+    c = Crawler(spark, "http://host0.example/p/0", corpus_dir=corpus,
+                filter_by_domain=False, budget=64, max_rounds=2,
+                dedupe_mode="exact", warehouse=str(tmp_path / "whc"))
+    res = c.start()
+    fetched = res.fetched_log(spark)
+    delta = cache_delta_from_fetched(fetched, res.rounds)
+    rows = delta.collect()
+    assert len(rows) == fetched.where(F.col("status") == "downloaded").count()
+    assert all(r["etag"] and r["payload_ref"] for r in rows)
