@@ -124,7 +124,8 @@ def test_parity_host_budget_politeness(spark, corpus, tmp_path):
 def test_parity_fetch_and_download_conditions(spark, corpus, tmp_path):
     d, p = corpus
     fc = [{"field": "url_norm", "op": "not_contains", "value": "/p/7"}]
-    dc = [{"field": "body_size", "op": "le", "value": 40_000}]
+    # prevented downloads must not strangle discovery: images carry no links
+    dc = [{"field": "content_type", "op": "ne", "value": "image/png"}]
     cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=64,
                       filter_by_domain=False, dedupe_mode="exact", max_rounds=500)
     result, oresult = _run_both(spark, d, cfg, tmp_path,

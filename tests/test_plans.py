@@ -1,0 +1,89 @@
+"""Physical-plan guardrails: the plans we want at 100 TB, asserted so a
+regression (lost pushdown, broadcast flipped to SMJ, top-k become full sort)
+fails CI — the `.explain("formatted")` loop, made permanent."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_fifo_topk_is_take_ordered_not_full_sort(spark):
+    df = entry_mod.queries()["w1_fifo_topk"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # per-partition heap + driver merge
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = entry_mod.queries()["p5_depth_gate"](spark, SF)
+    f = _formatted(df)
+    assert "PushedFilters: [" in f and "l_linenumber" in f.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = entry_mod.queries()["p1_domain_filter"](spark, SF)
+    f = _formatted(df)
+    # scan must read only the 3 needed columns, not the whole customer table
+    read = f.split("ReadSchema")[1][:300]
+    assert "c_custkey" in read and "c_mktsegment" in read
+    assert "c_acctbal" not in read and "c_nationkey" not in read
+
+
+def test_small_dim_join_is_broadcast(spark):
+    df = entry_mod.queries()["j2_broadcast_lookup"](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_fetch_join_broadcasts_batch_side_not_corpus(spark, tmp_path):
+    from simplecrawler_spark.corpus import CorpusParams, write_corpus
+    from simplecrawler_spark.operators.fetch import fetch_batch
+
+    d = str(tmp_path / "c")
+    write_corpus(spark, d, CorpusParams(n_urls=200, n_hosts=3, seed=45))
+    web = spark.read.parquet(f"{d}/web")
+    batch = web.limit(10).select("url_norm", F.lit(0).alias("seq"),
+                                 F.lit(1).alias("depth"))
+    plan = _plan(fetch_batch(batch, web))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_no_cartesian(spark):
+    df = entry_mod.queries()["j1_seen_antijoin"](spark, SF)
+    plan = _plan(df)
+    assert "LeftAnti" in plan and "Cartesian" not in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = entry_mod.queries()["j4_fetch_join"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    # codegen stages appear as "*(n)" spans in the executed-plan string
+    assert "*(3)" in plan or "WholeStageCodegen" in plan
+    # and the agg is map-side partial before the exchange
+    assert "partial_count" in plan
+
+
+def test_simhash_pairs_plan_is_equijoin_not_cross(spark):
+    from simplecrawler_spark.pipeline.dedup import simhash_pairs
+    fps = spark.createDataFrame([(1, 5), (2, 5)], "doc_id long, simhash long")
+    plan = _plan(simhash_pairs(fps))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
