@@ -91,8 +91,10 @@ class CookieJar:
         self.cookies.append(cookie)
 
     def get(self, host: str, path: str = "/", now: float | None = None) -> list[Cookie]:
-        return [c for c in self.cookies
-                if c.matches_domain(host) and c.matches_path(path) and not c.expired(now)]
+        matched = [c for c in self.cookies
+                   if c.matches_domain(host) and c.matches_path(path) and not c.expired(now)]
+        # RFC 6265 §5.4 order: longer paths first; stable (creation order) ties
+        return sorted(matched, key=lambda c: -len(c.path))
 
     def outbound_header(self, host: str, path: str = "/", now: float | None = None) -> str:
         """The ``Cookie:`` request header (reference ``getAsHeader``,

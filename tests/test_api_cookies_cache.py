@@ -56,7 +56,7 @@ def test_cookie_parse_match_expiry_header():
     jar = CookieJar()
     jar.add_from_headers(["a=1; Path=/", "b=2; Path=/x"], "h.example")
     jar.add_from_headers("a=9; Path=/", "h.example")  # replaces a=1
-    assert jar.outbound_header("h.example", "/x") == "a=9; b=2"
+    assert jar.outbound_header("h.example", "/x") == "b=2; a=9"  # longer path first (RFC 6265 §5.4)
     assert jar.outbound_header("h.example", "/") == "a=9"
 
     expired = Cookie.from_set_cookie("old=1; Expires=Thu, 01 Jan 1970 00:00:00 GMT", "h")
