@@ -124,13 +124,23 @@ class CrawlEngine:
             self.events[name] = self.events.get(name, 0) + int(n)
 
     def _write_metrics(self, rnd: int, rows: list[tuple[str, int]]) -> None:
+        # metrics are driver-local counters — write the tiny parquet directly
+        # with pyarrow (no Spark job); schema matches a Spark-readable table
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         if not rows:
             rows = [("noop", 0)]
-        pdf = pd.DataFrame(rows, columns=["event", "count"])
-        pdf.insert(0, "round", rnd)
-        self.spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
-            self.wh.round_dir("metrics", rnd)
-        )
+        tbl = pa.table({
+            "round": pa.array([rnd] * len(rows), pa.int32()),
+            "event": pa.array([r[0] for r in rows], pa.string()),
+            "count": pa.array([int(r[1]) for r in rows], pa.int64()),
+        })
+        d = self.wh.round_dir("metrics", rnd)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".part-0.tmp{os.getpid()}.parquet")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
 
     def _remaining(self, upto_round: int, watermark: int) -> DataFrame:
         queued = self.spark.read.option(
@@ -156,19 +166,23 @@ class CrawlEngine:
         ``bounds`` = known (min,max) parent_seq of the candidates (the fetch
         batch's seq range) — saves an aggregation job."""
         import time as _t
+
+        from pyspark.sql import Observation
+
         cfg = self.cfg
         t = _t.time()
         gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions)
-        gated = gated.persist()
-        rejects = {r["reject"]: r["cnt"] for r in
-                   gated.groupBy("reject").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        # admission counters ride along with the first downstream action —
+        # zero extra jobs (Spark Observation; one pass, A.2 single-scan)
+        reasons = ["protocol", "invaliddomain", "fetchdisallowed", "depth", "fetchprevented"]
+        obs = Observation(f"admission_r{rnd}")
+        gated = gated.observe(
+            obs,
+            *[F.sum(F.when(F.col("reject") == r, 1).otherwise(0)).alias(r) for r in reasons],
+            F.sum(F.when(F.col("reject").isNull(), 1).otherwise(0)).alias("admitted"),
+        )
         t = self._tick("admit_gates", t)
-        metrics_rows = []
-        for reason, cnt in rejects.items():
-            if reason is not None:
-                metrics_rows.append((reason, cnt))
         admitted = gated.where(F.col("reject").isNull()).drop("reject")
-        n_admitted = rejects.get(None, 0)
 
         w = Window.partitionBy("url_hash").orderBy("parent_seq", "link_idx")
         first = admitted.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
@@ -184,29 +198,43 @@ class CrawlEngine:
         numbered, n_new = assign_seq(new, next_seq,
                                      n_parts=cfg.shuffle_partitions, bounds=bounds)
         t = self._tick("dedupe_assign_counts", t)
-        numbered = numbered.persist()
-        queued = numbered.withColumn("round_queued", F.lit(rnd)).select(*QUEUED_COLS, "round_queued")
-        queued.write.mode("overwrite").parquet(self.wh.round_dir("queued", rnd))
-        t = self._tick("queued_write", t)
+        if n_new > 0:
+            # zero-admission rounds write no deltas at all — round_paths()
+            # skips missing dirs, and a limit(0) write would let Catalyst
+            # prune the observe node (breaking the free counters below)
+            numbered = numbered.persist()
+            queued = numbered.withColumn("round_queued", F.lit(rnd)).select(*QUEUED_COLS, "round_queued")
+            queued.write.mode("overwrite").parquet(self.wh.round_dir("queued", rnd))
+            t = self._tick("queued_write", t)
 
-        # seen delta (+ sidecars in tiered mode) — reuse the persisted delta
-        seen_src = numbered.select("url_hash", "url_norm", "seq")
-        if cfg.dedupe_mode == "tiered":
-            dd.register_new(seen_src, self.wh.root, self.wh.round_dir("seen", rnd),
-                            cfg.n_buckets, cfg.seen_capacity, cfg.bloom_bits_per_key)
-        else:
-            dd.with_bucket(seen_src, cfg.n_buckets) \
-                .write.mode("overwrite").partitionBy("bucket").parquet(self.wh.round_dir("seen", rnd))
-        t = self._tick("seen_write", t)
+            # seen delta (+ sidecars in tiered mode) — reuse the persisted delta
+            seen_src = numbered.select("url_hash", "url_norm", "seq")
+            if cfg.dedupe_mode == "tiered":
+                dd.register_new(seen_src, self.wh.root, self.wh.round_dir("seen", rnd),
+                                cfg.n_buckets, cfg.seen_capacity, cfg.bloom_bits_per_key)
+            else:
+                dd.with_bucket(seen_src, cfg.n_buckets) \
+                    .write.mode("overwrite").partitionBy("bucket").parquet(self.wh.round_dir("seen", rnd))
+            t = self._tick("seen_write", t)
+            numbered.unpersist()
 
+        try:
+            counters = obs.get  # populated by the dedupe/assign pass; no extra job
+        except Exception:
+            # defensive: if the observe node was optimized out of every
+            # executed plan, fall back to one explicit pass
+            counters = gated.groupBy().agg(
+                *[F.sum(F.when(F.col("reject") == r, 1).otherwise(0)).alias(r) for r in reasons],
+                F.sum(F.when(F.col("reject").isNull(), 1).otherwise(0)).alias("admitted"),
+            ).collect()[0].asDict()
+        metrics_rows = [(r, int(counters[r])) for r in reasons if counters[r]]
+        n_admitted = int(counters["admitted"] or 0)
         dupes = n_admitted - n_new
         metrics_rows.append(("queueadd", n_new))
         metrics_rows.append(("queueduplicate", dupes))
         for name, cnt in metrics_rows:
             self._bump(name, cnt)
-        gated.unpersist()
         new.unpersist()
-        numbered.unpersist()
         return n_new, metrics_rows
 
     # ---- lifecycle ----
@@ -303,8 +331,17 @@ class CrawlEngine:
                 break
             b_lo, b_hi = int(bstats["lo"]), int(bstats["hi"])
 
+            from pyspark.sql import Observation
+
+            event_names = ["fetcherror", "notmodified", "fetchredirect", "fetch404",
+                           "fetch410", "fetchdataerror", "downloadprevented", "fetchcomplete"]
+            ev_obs = Observation(f"events_r{rnd}")
             outcomes = classify(fetch_batch(batch, self.web), cfg,
-                                self.download_conditions).persist()
+                                self.download_conditions).observe(
+                ev_obs,
+                *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
+                  for e in event_names],
+            ).persist()
             fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
             if self.images is not None:
                 pay = verify_payloads(
@@ -323,8 +360,13 @@ class CrawlEngine:
                             "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched")
              .write.mode("overwrite").parquet(self.wh.round_dir("fetched", rnd)))
             t = self._tick("fetch_write", t)
-            ev_rows = [(r["event"], r["cnt"]) for r in
-                       outcomes.groupBy("event").agg(F.count(F.lit(1)).alias("cnt")).collect()]
+            try:
+                evc = ev_obs.get  # filled by the fetched-delta write; no extra job
+            except Exception:
+                evc = outcomes.groupBy().agg(
+                    *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
+                      for e in event_names]).collect()[0].asDict()
+            ev_rows = [(e, int(evc[e])) for e in event_names if evc[e]]
             for name, cnt in ev_rows:
                 self._bump(name, cnt)
             t = self._tick("event_counts", t)
