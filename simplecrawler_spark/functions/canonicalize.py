@@ -40,6 +40,10 @@ _PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
 _FAST_RE = re.compile(
     r"^(http|https)://[a-z0-9][a-z0-9.\-]*/(?:[A-Za-z0-9/_\-,;=&]|\.(?!\.?/|\.?$))*$"
 )
+# Simple absolute-path relative reference ("/a/b") — resolves to base origin
+# + path with no normalization needed. The majority of real in-site links.
+_FAST_ABSPATH_RE = re.compile(r"^/(?!/)(?:[A-Za-z0-9/_\-,;=&]|\.(?!\.?/|\.?$))*$")
+_ORIGIN_RE = re.compile(r"^(https?://[a-z0-9][a-z0-9.\-]*)(?::(\d+))?(?=/|$)")
 
 
 def _pct_normalize(s: str) -> str:
@@ -153,6 +157,17 @@ def canonicalize_series(
         fast_candidates = raw.fillna("")
         fast = fast_candidates.str.match(_FAST_RE).to_numpy() & notnull
         out[fast] = raw[fast].to_numpy()
+        # fast path 2: "/abs/path" against a canonical base → origin + path
+        # (pure pandas string ops; the referrer is always already canonical
+        # inside the engine, so origin needs no re-normalization)
+        if base is not None:
+            rel = fast_candidates.str.match(_FAST_ABSPATH_RE).to_numpy() & notnull & ~fast
+            if rel.any():
+                origins = base.fillna("").str.extract(r"^(https?://[^/]+)", expand=False)
+                ok = rel & origins.notna().to_numpy()
+                if ok.any():
+                    out[ok] = (origins[ok] + raw[ok]).to_numpy()
+                    fast = fast | ok
     slow_idx = np.flatnonzero(notnull & ~fast)
     if len(slow_idx):
         rawv = raw.to_numpy()

@@ -146,6 +146,11 @@ class CrawlEngine:
         queued = self.spark.read.option(
             "basePath", self.wh.table_dir("queued")
         ).parquet(*self.wh.round_paths("queued", upto_round)).where(F.col("seq") >= watermark)
+        if self.cfg.host_budget <= 0:
+            # FIFO: fetched seqs are exactly the prefix [0, watermark) —
+            # D5's _oldestUnfetchedIndex as a pushed-down range predicate;
+            # no anti-join needed at all.
+            return queued
         fpaths = self.wh.round_paths("fetched", upto_round)
         if not fpaths:
             return queued
@@ -155,8 +160,7 @@ class CrawlEngine:
             .where(F.col("seq") >= watermark)
             .select("seq")
         )
-        # fetched-above-watermark is small (non-FIFO skips only) → broadcast
-        # anti-join; in pure FIFO mode it is empty and the join is a no-op.
+        # fetched-above-watermark is bounded by budget skips → broadcast anti-join
         return queued.join(F.broadcast(fetched), "seq", "left_anti")
 
     def _admit_dedupe_assign(self, cands: DataFrame, rnd: int, next_seq: int,
@@ -316,20 +320,29 @@ class CrawlEngine:
                     .parquet(*seen_paths) if seen_paths else None
                 )
             remaining = self._remaining(rnd - 1, watermark)
-            batch = select_batch(remaining, cfg.budget, cfg.host_budget,
-                                 cfg.hot_host_threshold, cfg.n_salts).persist()
-            bstats = batch.agg(
-                F.count(F.lit(1)).alias("n"), F.min("seq").alias("lo"),
-                F.max("seq").alias("hi"),
-            ).collect()[0]
-            n_batch = int(bstats["n"])
+            if cfg.host_budget <= 0:
+                # FIFO batch = the seq range [W, W+min(B, n_left)): dense seqs
+                # make selection a pure pushed-down filter — no sort, no
+                # TakeOrdered driver merge, no counting job. (Appendix C /
+                # D5 cursor, fully declarative.)
+                n_batch = min(cfg.budget, n_left)
+                b_lo, b_hi = watermark, watermark + n_batch - 1
+                batch = remaining.where(F.col("seq") <= b_hi).persist()
+            else:
+                batch = select_batch(remaining, cfg.budget, cfg.host_budget,
+                                     cfg.hot_host_threshold, cfg.n_salts).persist()
+                bstats = batch.agg(
+                    F.count(F.lit(1)).alias("n"), F.min("seq").alias("lo"),
+                    F.max("seq").alias("hi"),
+                ).collect()[0]
+                n_batch = int(bstats["n"])
+                if n_batch == 0:
+                    batch.unpersist()
+                    rnd -= 1
+                    n_left = 0
+                    break
+                b_lo, b_hi = int(bstats["lo"]), int(bstats["hi"])
             t = self._tick("select_batch", t)
-            if n_batch == 0:
-                batch.unpersist()
-                rnd -= 1
-                n_left = 0
-                break
-            b_lo, b_hi = int(bstats["lo"]), int(bstats["hi"])
 
             from pyspark.sql import Observation
 

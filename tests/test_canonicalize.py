@@ -56,8 +56,15 @@ def test_idempotent():
 
 
 def test_series_fast_and_slow_paths_agree():
-    raws = [c[0] for c in CASES] + ["http://fast.example/p/1", "http://fast.example/p/2/x"]
-    bases = [c[1] for c in CASES] + [None, None]
+    raws = [c[0] for c in CASES] + [
+        "http://fast.example/p/1", "http://fast.example/p/2/x",
+        "/p/5", "/", "/a//b", "//other.example/p/2", "/p/./6", "/p/x?q=1",
+    ]
+    bases = [c[1] for c in CASES] + [
+        None, None,
+        "http://h.example/x/y", "http://h.example/x", "http://h.example/",
+        "https://h.example/q", "http://h.example/x", "http://h.example/x",
+    ]
     got = canonicalize_series(pd.Series(raws, dtype=object), pd.Series(bases, dtype=object))
     want = [canonicalize_one(r, b) for r, b in zip(raws, bases)]
     assert list(got) == want
