@@ -31,19 +31,29 @@ def main() -> None:
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--prepare", action="store_true", help="only generate the corpus")
     ap.add_argument("--images", action="store_true", help="verify payloads during crawl")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="seed-list size (multi-seed wide crawl skips the tiny BFS warm-up rounds)")
+    ap.add_argument("--img-frac", type=float, default=0.08)
+    ap.add_argument("--img-sizes", default="16,32,64",
+                    help="candidate image dims (realistic payloads = real decode compute)")
     args = ap.parse_args()
 
     from simplecrawler_spark.session import get_spark
     from simplecrawler_spark.config import CrawlConfig
-    from simplecrawler_spark.corpus import CorpusParams, write_corpus
+    from simplecrawler_spark.corpus import CorpusParams, write_corpus, host_name
     from simplecrawler_spark.plans.crawl import run_crawl
 
+    sizes = tuple(int(x) for x in args.img_sizes.split(","))
     p = CorpusParams(n_urls=args.urls, n_hosts=max(args.urls // 2000, 8),
-                     seed=42, frac_image=0.08)
+                     seed=42, frac_image=args.img_frac, img_sizes=sizes)
+    key = f"{args.urls}_{p.seed}_{args.img_frac}_{args.img_sizes.replace(',', 'x')}"
     corpus = args.corpus or os.path.join(
-        tempfile.gettempdir(), f"spark_graft_bench_corpus_{args.urls}_{p.seed}")
+        tempfile.gettempdir(), f"spark_graft_bench_corpus_{key}")
+    # IMPORTANT: shuffle partitioning is part of the PLAN, not the cluster —
+    # hold it constant across parallelism levels so the scaling comparison
+    # varies cores only (32 partitions = 4 waves at 8 cores, 1 wave at 32).
     spark = get_spark(app=f"crawl-bench-{args.cores}", master=f"local[{args.cores}]",
-                      shuffle_partitions=args.cores)
+                      shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.prepare or not os.path.exists(os.path.join(corpus, "_DONE")):
@@ -56,11 +66,20 @@ def main() -> None:
             return
 
     wh = tempfile.mkdtemp(prefix=f"bench_wh_{args.cores}_")
+    # multi-seed: j=0 exists on every host; spread seeds across hosts, then
+    # deeper js on host0 (guaranteed dense by Zipf head)
+    seeds = []
+    h = j = 0
+    while len(seeds) < args.seeds:
+        seeds.append(f"http://{host_name(h)}/p/{j}")
+        h += 1
+        if h >= p.n_hosts:
+            h, j = 0, j + 1
     cfg = CrawlConfig(
-        seeds=["http://host0.example/p/0"], budget=args.budget,
+        seeds=seeds, budget=args.budget,
         filter_by_domain=False, dedupe_mode="tiered",
         seen_capacity=max(args.urls * 2, 200_000), n_buckets=32,
-        shuffle_partitions=args.cores, warehouse=wh, max_rounds=500,
+        shuffle_partitions=32, warehouse=wh, max_rounds=500,
     )
     t0 = time.time()
     res = run_crawl(spark, cfg, corpus, corpus_params=p, with_images=args.images)

@@ -26,9 +26,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cores: int, urls: int, budget: int, images: bool) -> dict:
+def run_once(cores: int, urls: int, budget: int, images: bool, extra: list[str]) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "bench", "run_crawl.py"),
-           "--cores", str(cores), "--urls", str(urls), "--budget", str(budget)]
+           "--cores", str(cores), "--urls", str(urls), "--budget", str(budget)] + extra
     if images:
         cmd.append("--images")
     env = dict(os.environ, PYTHONPATH=REPO)
@@ -44,18 +44,23 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--images", action="store_true")
     ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--img-frac", type=float, default=0.08)
+    ap.add_argument("--img-sizes", default="16,32,64")
     args = ap.parse_args()
+    extra = ["--seeds", str(args.seeds), "--img-frac", str(args.img_frac),
+             "--img-sizes", args.img_sizes]
 
     # prepare corpus once (excluded from timing)
     env = dict(os.environ, PYTHONPATH=REPO)
     subprocess.run([sys.executable, os.path.join(REPO, "bench", "run_crawl.py"),
-                    "--cores", "8", "--urls", str(args.urls), "--prepare"],
+                    "--cores", "8", "--urls", str(args.urls), "--prepare"] + extra,
                    env=env, check=True, capture_output=True, text=True)
 
     levels = [int(c) for c in args.cores.split(",")]
     results = {}
     for cores in levels:
-        runs = [run_once(cores, args.urls, args.budget, args.images)
+        runs = [run_once(cores, args.urls, args.budget, args.images, extra)
                 for _ in range(args.runs)]
         timed = runs[1:] if len(runs) > 1 else runs  # discard warm-up
         med = statistics.median(r["seconds"] for r in timed)

@@ -47,6 +47,9 @@ class CrawlConfig:
     # --- robots ---
     respect_robots_txt: bool = True        # respectRobotsTxt
     user_agent: str = "simplecrawler-spark/0.1"
+    robots_mode: str = "table"             # "table" (pre-parsed rules) | "lazy"
+                                           # (per-host fetch+parse of robots.txt
+                                           # bodies on first encounter — S3)
 
     # --- scheduling (Appendix C: BSP round == reference tick-batch) ---
     budget: int = 4096                     # global fetch budget per round (maxConcurrency analog)

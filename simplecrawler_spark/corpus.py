@@ -180,6 +180,16 @@ def gen_image_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
     )
 
 
+def render_robots_txt(disallow: list[str], allow: list[str], crawl_delay) -> str:
+    """Rules → a real robots.txt body (for the lazy-fetch path, S3)."""
+    lines = ["User-agent: *"]
+    lines += [f"Disallow: {d}" for d in disallow]
+    lines += [f"Allow: {a}" for a in allow]
+    if crawl_delay is not None:
+        lines.append(f"Crawl-delay: {crawl_delay}")
+    return "\n".join(lines) + "\n"
+
+
 def robots_table(p: CorpusParams) -> pd.DataFrame:
     rows = []
     for h in range(p.n_hosts):
@@ -235,4 +245,13 @@ def write_corpus(spark, out_dir: str, p: CorpusParams, partitions: int | None = 
         .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     )
     images.write.mode("overwrite").parquet(f"{out_dir}/images")
-    spark.createDataFrame(robots_table(p)).write.mode("overwrite").parquet(f"{out_dir}/robots")
+    rt = robots_table(p)
+    spark.createDataFrame(rt).write.mode("overwrite").parquet(f"{out_dir}/robots")
+    # raw-body twin for the lazy per-host robots *fetch* path (S3): what a
+    # real crawl would GET from http://host/robots.txt
+    bodies = pd.DataFrame({
+        "host": rt["host"],
+        "body": [render_robots_txt(d, a, cd)
+                 for d, a, cd in zip(rt["disallow"], rt["allow"], rt["crawl_delay"])],
+    })
+    spark.createDataFrame(bodies).write.mode("overwrite").parquet(f"{out_dir}/robots_txt")

@@ -100,9 +100,17 @@ class CrawlEngine:
                  images: DataFrame | None = None, robots: DataFrame | None = None,
                  fetch_conditions: list[dict] | None = None,
                  download_conditions: list[dict] | None = None,
-                 corpus_params=None):
+                 corpus_params=None, robots_txt: DataFrame | None = None):
         self.spark, self.cfg = spark, cfg
         self.web, self.images, self.robots = web, images, robots
+        # S3 lazy mode: robots.txt BODIES fetched per new host, parsed with the
+        # shared parser. Driver-side cache is fine up to ~10^6 hosts; at full
+        # scale this becomes an upserted `robots` table (SURVEY.md §2.1 S3).
+        self.robots_txt = robots_txt
+        self._robots_seen: set[str] = set()
+        self._robots_rules: list[tuple] = []
+        if cfg.robots_mode == "lazy":
+            self.robots = None
         self.fetch_conditions = fetch_conditions or []
         self.download_conditions = download_conditions or []
         self.corpus_params = corpus_params
@@ -175,6 +183,8 @@ class CrawlEngine:
 
         cfg = self.cfg
         t = _t.time()
+        if cfg.robots_mode == "lazy" and cfg.respect_robots_txt:
+            self._lazy_robots_update(cands)
         gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions)
         # admission counters ride along with the first downstream action —
         # zero extra jobs (Spark Observation; one pass, A.2 single-scan)
@@ -240,6 +250,30 @@ class CrawlEngine:
             self._bump(name, cnt)
         new.unpersist()
         return n_new, metrics_rows
+
+    def _lazy_robots_update(self, cands: DataFrame) -> None:
+        """S3 — lazy per-origin robots.txt: on first encounter of a host,
+        "fetch" its robots.txt body (join vs the robots_txt table in-sandbox;
+        HTTP GET on a cluster) and parse with the shared RFC-9309 parser
+        (reference: ``getRobotsTxt``, ``lib/crawler.js:≈L1080–1200``)."""
+        from simplecrawler_spark.functions.robots import parse_robots_txt
+
+        hosts = [r["host"] for r in cands.select("host").distinct().collect()]
+        newh = [h for h in hosts if h and h not in self._robots_seen]
+        if not newh:
+            return
+        self._robots_seen.update(newh)
+        if self.robots_txt is not None:
+            rows = self.robots_txt.where(F.col("host").isin(newh)).collect()
+            for r in rows:
+                d, a, cd = parse_robots_txt(r["body"], self.cfg.user_agent)
+                self._robots_rules.append((r["host"], d, a, cd))
+                self._bump("robotstxtfetched", 1)
+        if self._robots_rules:
+            self.robots = self.spark.createDataFrame(
+                self._robots_rules,
+                "host string, disallow array<string>, allow array<string>, crawl_delay double",
+            )
 
     # ---- lifecycle ----
     def seed(self) -> tuple[int, int]:
@@ -443,6 +477,8 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig, corpus_dir: str,
         f"{corpus_dir}/images") else None
     robots = spark.read.parquet(f"{corpus_dir}/robots") if os.path.isdir(
         f"{corpus_dir}/robots") else None
+    robots_txt = spark.read.parquet(f"{corpus_dir}/robots_txt") if (
+        cfg.robots_mode == "lazy" and os.path.isdir(f"{corpus_dir}/robots_txt")) else None
     eng = CrawlEngine(spark, cfg, web, images, robots, fetch_conditions,
-                      download_conditions, corpus_params)
+                      download_conditions, corpus_params, robots_txt=robots_txt)
     return eng.run(resume=resume)
