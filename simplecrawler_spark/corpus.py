@@ -230,16 +230,24 @@ def write_corpus(spark, out_dir: str, p: CorpusParams, partitions: int | None = 
     web = spark.read.parquet(f"{out_dir}/web")
 
     def gen_images(batches):
+        # chunk output so Arrow batches stay ~10-25 MB even with large
+        # payloads (one 8k-row batch of 128px PNGs would be ~250 MB)
         for pdf in batches:
-            yield gen_image_rows(pdf["url_id"].to_numpy(), p)
+            ids = pdf["url_id"].to_numpy()
+            for i in range(0, len(ids), 512):
+                yield gen_image_rows(ids[i : i + 512], p)
 
     img_ids = web.where(web.image_id.isNotNull()).select("url_id", "caption")
     images = img_ids.select("url_id").mapInPandas(gen_images, schema=IMAGES_SCHEMA)
-    # caption lives on the web row (single rng stream); join it onto the payload
+    # caption lives on the web row (single rng stream); join it onto the
+    # payload. The captions side is explicitly broadcast — the images side
+    # carries multi-KB binary rows and its size estimate (inherited from the
+    # tiny pre-UDF child) would otherwise tempt AQE into broadcasting IT.
+    from pyspark.sql import functions as F
     images = (
         images.drop("caption")
         .join(
-            web.where(web.image_id.isNotNull()).select("image_id", "caption"),
+            F.broadcast(web.where(web.image_id.isNotNull()).select("image_id", "caption")),
             "image_id",
         )
         .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")

@@ -19,7 +19,9 @@ def get_spark(app: str = "simplecrawler-spark", master: str = "local[4]",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bounded Arrow batches: binary payload rows can be 10-100 KB each,
+        # so 4096 rows keeps Spark→Python transfers in the tens of MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

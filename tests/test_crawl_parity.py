@@ -19,7 +19,7 @@ from tests.oracle import OracleCrawler
 @pytest.fixture(scope="module")
 def corpus(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("corpus"))
-    p = CorpusParams(n_urls=800, n_hosts=6, seed=42)
+    p = CorpusParams(n_urls=500, n_hosts=6, seed=42)
     write_corpus(spark, d, p)
     return d, p
 
@@ -72,7 +72,7 @@ def _assert_parity(spark, result, oresult):
 
 def test_parity_default_config(spark, corpus, tmp_path):
     d, p = corpus
-    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=64,
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
                       dedupe_mode="exact", max_rounds=500)
     result, oresult = _run_both(spark, d, cfg, tmp_path)
     assert len(oresult.fetched_log) > 20  # crawl actually expanded
@@ -81,7 +81,7 @@ def test_parity_default_config(spark, corpus, tmp_path):
 
 def test_parity_tiered_dedupe_identical_to_exact(spark, corpus, tmp_path):
     d, p = corpus
-    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=64,
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
                       dedupe_mode="tiered", seen_capacity=100_000,
                       n_buckets=8, max_rounds=500)
     result, oresult = _run_both(spark, d, cfg, tmp_path)
@@ -90,7 +90,7 @@ def test_parity_tiered_dedupe_identical_to_exact(spark, corpus, tmp_path):
 
 def test_parity_cross_domain_with_subdomains_and_whitelist(spark, corpus, tmp_path):
     d, p = corpus
-    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=48,
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
                       filter_by_domain=True, scan_subdomains=True,
                       domain_whitelist=["host1.example", "host2.example"],
                       dedupe_mode="exact", max_rounds=500)
@@ -100,7 +100,7 @@ def test_parity_cross_domain_with_subdomains_and_whitelist(spark, corpus, tmp_pa
 
 def test_parity_no_domain_filter_max_depth(spark, corpus, tmp_path):
     d, p = corpus
-    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=64,
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
                       filter_by_domain=False, max_depth=3,
                       dedupe_mode="exact", max_rounds=500)
     result, oresult = _run_both(spark, d, cfg, tmp_path)
@@ -126,7 +126,7 @@ def test_parity_fetch_and_download_conditions(spark, corpus, tmp_path):
     fc = [{"field": "url_norm", "op": "not_contains", "value": "/p/7"}]
     # prevented downloads must not strangle discovery: images carry no links
     dc = [{"field": "content_type", "op": "ne", "value": "image/png"}]
-    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=64,
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
                       filter_by_domain=False, dedupe_mode="exact", max_rounds=500)
     result, oresult = _run_both(spark, d, cfg, tmp_path,
                                 fetch_conditions=fc, download_conditions=dc)
