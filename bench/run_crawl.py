@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--img-frac", type=float, default=0.08)
     ap.add_argument("--img-sizes", default="16,32,64",
                     help="candidate image dims (realistic payloads = real decode compute)")
+    ap.add_argument("--max-rounds", type=int, default=500,
+                    help="cap rounds: steady-state throughput measurement that "
+                         "excludes the tiny closure-tail rounds a finite sandbox "
+                         "graph produces (a 10^10 frontier never drains)")
     args = ap.parse_args()
 
     from simplecrawler_spark.session import get_spark
@@ -79,16 +83,22 @@ def main() -> None:
         seeds=seeds, budget=args.budget,
         filter_by_domain=False, dedupe_mode="tiered",
         seen_capacity=max(args.urls * 2, 200_000), n_buckets=32,
-        shuffle_partitions=32, warehouse=wh, max_rounds=500,
+        shuffle_partitions=32, warehouse=wh, max_rounds=args.max_rounds,
     )
     t0 = time.time()
-    res = run_crawl(spark, cfg, corpus, corpus_params=p, with_images=args.images)
+    from simplecrawler_spark.plans.crawl import CrawlEngine
+    web = spark.read.parquet(f"{corpus}/web")
+    images = spark.read.parquet(f"{corpus}/images") if args.images else None
+    robots = spark.read.parquet(f"{corpus}/robots")
+    eng = CrawlEngine(spark, cfg, web, images, robots, corpus_params=p)
+    res = eng.run()
     n = res.fetched_log(spark).count()
     dt = time.time() - t0
     shutil.rmtree(wh, ignore_errors=True)
     print(json.dumps({"cores": args.cores, "urls": int(n),
                       "seconds": round(dt, 2), "urls_per_sec": round(n / dt, 1),
-                      "rounds": res.rounds}))
+                      "rounds": res.rounds,
+                      "phases": {k: round(v, 1) for k, v in sorted(eng.phase_secs.items())}}))
 
 
 if __name__ == "__main__":

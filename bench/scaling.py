@@ -27,8 +27,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_once(cores: int, urls: int, budget: int, images: bool, extra: list[str]) -> dict:
+    # Pin the CPU set: local[8] on an unpinned 32-core box free-rides on the
+    # other cores (Python workers, GC, shuffle threads), corrupting the
+    # N-vs-4N comparison. taskset makes "8 cores" mean 8 cores.
     cmd = [sys.executable, os.path.join(REPO, "bench", "run_crawl.py"),
            "--cores", str(cores), "--urls", str(urls), "--budget", str(budget)] + extra
+    import shutil as _sh
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     if images:
         cmd.append("--images")
     env = dict(os.environ, PYTHONPATH=REPO)

@@ -33,11 +33,16 @@ WEB_COLS = ["url_norm", "status_code", "redirect_to", "content_type", "links",
             "image_id", "caption", "body_size"]
 
 
-def fetch_batch(batch: DataFrame, web: DataFrame) -> DataFrame:
-    """batch ⋈ web (left outer in effect): broadcast the small batch side,
-    stream the corpus once; misses (URL not in "the internet") surface with
-    ``found=false`` → status ``failed`` (reference ``fetcherror``)."""
-    hits = web.select(*WEB_COLS).join(F.broadcast(batch), "url_norm")
+def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None) -> DataFrame:
+    """batch ⋈ web (left outer in effect): broadcast the batch side when it
+    is genuinely small (driver collect + rebroadcast is per-round *serial*
+    time), otherwise let AQE pick a shuffled join from runtime stats.
+    Misses (URL not in "the internet") surface with ``found=false`` → status
+    ``failed`` (reference ``fetcherror``)."""
+    # a frontier batch row is ~100 B; up to ~1M rows (~100 MB) broadcasting
+    # beats a 3-way shuffle of the (much wider) corpus scan
+    b = F.broadcast(batch) if (batch_rows is None or batch_rows <= 1_000_000) else batch
+    hits = web.select(*WEB_COLS).join(b, "url_norm")
     misses = batch.join(hits.select("url_norm"), "url_norm", "left_anti")
     for c in WEB_COLS[1:]:
         misses = misses.withColumn(c, F.lit(None).cast(hits.schema[c].dataType))

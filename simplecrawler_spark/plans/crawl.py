@@ -383,7 +383,7 @@ class CrawlEngine:
             event_names = ["fetcherror", "notmodified", "fetchredirect", "fetch404",
                            "fetch410", "fetchdataerror", "downloadprevented", "fetchcomplete"]
             ev_obs = Observation(f"events_r{rnd}")
-            outcomes = classify(fetch_batch(batch, self.web), cfg,
+            outcomes = classify(fetch_batch(batch, self.web, batch_rows=n_batch), cfg,
                                 self.download_conditions).observe(
                 ev_obs,
                 *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)

@@ -22,7 +22,11 @@ def get_spark(app: str = "simplecrawler-spark", master: str = "local[4]",
         # bounded Arrow batches: binary payload rows can be 10-100 KB each,
         # so 4096 rows keeps Spark→Python transfers in the tens of MB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "48g")
+        # binary payload columns: 4096-row columnar batches reach ~100 MB —
+        # with 32 concurrent scan tasks that's several GB of heap churn.
+        # 1024 rows keeps per-task batches ~25 MB at 128px-image scale.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
