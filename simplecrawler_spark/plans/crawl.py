@@ -198,8 +198,16 @@ class CrawlEngine:
         t = self._tick("admit_gates", t)
         admitted = gated.where(F.col("reject").isNull()).drop("reject")
 
-        w = Window.partitionBy("url_hash").orderBy("parent_seq", "link_idx")
-        first = admitted.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        # in-batch first-wins dedupe (U3/J1): min_by over (parent_seq,
+        # link_idx) — map-side combinable partial agg, so heavily duplicated
+        # candidates collapse BEFORE the shuffle (a row_number window would
+        # shuffle+sort every candidate row)
+        cols = [c for c in admitted.columns if c != "url_hash"]
+        first = (
+            admitted.groupBy("url_hash")
+            .agg(F.min_by(F.struct(*cols), F.struct("parent_seq", "link_idx")).alias("_s"))
+            .select("url_hash", "_s.*")
+        )
 
         seen_paths = self.wh.round_paths("seen", rnd - 1) if rnd > 0 else []
         new = dd.filter_new(
