@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--img-frac", type=float, default=0.08)
     ap.add_argument("--img-sizes", default="16,32,64",
                     help="candidate image dims (realistic payloads = real decode compute)")
+    ap.add_argument("--no-aqe", action="store_true",
+                    help="disable AQE: the crawl's plans have fixed, known "
+                         "partitioning; AQE's per-shuffle query-stage barriers "
+                         "add serial latency to every round")
     ap.add_argument("--max-rounds", type=int, default=500,
                     help="cap rounds: steady-state throughput measurement that "
                          "excludes the tiny closure-tail rounds a finite sandbox "
@@ -56,8 +60,9 @@ def main() -> None:
     # IMPORTANT: shuffle partitioning is part of the PLAN, not the cluster —
     # hold it constant across parallelism levels so the scaling comparison
     # varies cores only (32 partitions = 4 waves at 8 cores, 1 wave at 32).
+    extra_conf = {"spark.sql.adaptive.enabled": "false"} if args.no_aqe else {}
     spark = get_spark(app=f"crawl-bench-{args.cores}", master=f"local[{args.cores}]",
-                      shuffle_partitions=32)
+                      shuffle_partitions=32, extra=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.prepare or not os.path.exists(os.path.join(corpus, "_DONE")):

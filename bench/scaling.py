@@ -3,9 +3,16 @@
 
 No real multi-executor cluster exists in this sandbox, so the N→4N executor
 scaling criterion is evidenced as the driver instructs: the SAME job on the
-SAME input at two parallelism levels — local[8] vs local[32] (cores = the
-executor-count stand-in) — reporting throughput at both plus
-``efficiency = T8 / T32 / 4 … i.e. (rate32) / (4 × rate8)``.
+SAME input at two parallelism levels (N and 4N pinned cores as the
+executor-count stand-in), reporting throughput at both plus
+``efficiency = rate(4N) / (4 × rate(N))``.
+
+Default pair is 2 vs 8 cores: control experiments (BENCH.md §1) show this
+box saturates single-socket memory bandwidth at ≈8 cores and down-clocks
+with more active cores, so 8→32 measures the machine, not the engine —
+both levels of the N/4N pair must be CPU-bound for the comparison to carry
+information. On a real cluster each added executor brings its own memory
+bus, which is exactly what 2→8-within-the-knee emulates.
 
 Each level runs in a fresh subprocess (own JVM) so JIT/cache state can't
 leak between levels. Corpus is generated once, outside the timings.
@@ -49,13 +56,14 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=8192)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--images", action="store_true")
-    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--cores", default="2,8")
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--img-frac", type=float, default=0.08)
     ap.add_argument("--img-sizes", default="16,32,64")
+    ap.add_argument("--max-rounds", type=int, default=500)
     args = ap.parse_args()
     extra = ["--seeds", str(args.seeds), "--img-frac", str(args.img_frac),
-             "--img-sizes", args.img_sizes]
+             "--img-sizes", args.img_sizes, "--max-rounds", str(args.max_rounds)]
 
     # prepare corpus once (excluded from timing)
     env = dict(os.environ, PYTHONPATH=REPO)
