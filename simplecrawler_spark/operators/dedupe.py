@@ -233,16 +233,29 @@ def register_new(
     seen_capacity: int,
     bits_per_key: int,
 ) -> None:
-    """Append the round's new URLs to the seen table (bucket-partitioned
-    parquet delta) and OR them into the per-bucket sidecars — ONE job: each
-    bucket's task writes its parquet file (pyarrow, atomic tmp+rename) and
-    its sidecars together. Idempotent under task retry (bit-OR / slot-insert
-    / file overwrite)."""
+    """Append the round's new URLs to the frontier/seen delta (bucket-
+    partitioned parquet) and OR them into the per-bucket sidecars — ONE job:
+    each bucket's task writes its parquet file (pyarrow, atomic tmp+rename)
+    and its sidecars together. The delta carries the FULL queued-row columns,
+    so it serves simultaneously as the frontier log (read by scheduling, seq-
+    pruned) and the url_seen table (read by the exact dedupe tier, column-
+    pruned to url_hash) — the reference's queue and ``_scanIndex`` share
+    entries the same way (``lib/queue.js:≈L90–145``). Idempotent under task
+    retry (bit-OR / slot-insert / file overwrite)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     bloom_bytes, k, nb = sidecar_params(seen_capacity, n_buckets, bits_per_key)
-    delta = with_bucket(new_df.select("url_hash", "url_norm", "seq"), n_buckets)
+    delta = with_bucket(new_df, n_buckets) if "bucket" not in new_df.columns else new_df
+    data_cols = [c for c in delta.columns if c != "bucket"]
+    # explicit Arrow schema — an all-null column (seed rows' referrer) would
+    # otherwise be inferred as the Arrow null type and break schema merging
+    from pyspark.sql.types import IntegerType, LongType, StringType
+
+    _pa = {LongType(): pa.int64(), IntegerType(): pa.int32(), StringType(): pa.string()}
+    file_schema = pa.schema(
+        [(f.name, _pa.get(f.dataType, pa.string())) for f in delta.schema if f.name != "bucket"]
+    )
 
     def update(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])
@@ -259,8 +272,7 @@ def register_new(
         out = os.path.join(bdir, "part-0.parquet")
         tmp = out + f".tmp{os.getpid()}"
         pq.write_table(
-            pa.Table.from_pandas(pdf[["url_hash", "url_norm", "seq"]],
-                                 preserve_index=False), tmp)
+            pa.Table.from_pandas(pdf[data_cols], schema=file_schema, preserve_index=False), tmp)
         os.replace(tmp, out)
         return pd.DataFrame({"bucket": [bucket], "n": [len(h)]})
 

@@ -152,8 +152,10 @@ class CrawlEngine:
 
     def _remaining(self, upto_round: int, watermark: int) -> DataFrame:
         queued = self.spark.read.option(
-            "basePath", self.wh.table_dir("queued")
-        ).parquet(*self.wh.round_paths("queued", upto_round)).where(F.col("seq") >= watermark)
+            "basePath", self.wh.table_dir("seen")
+        ).parquet(*self.wh.round_paths("seen", upto_round)).where(
+            F.col("seq") >= watermark
+        ).select(*QUEUED_COLS, "round_queued")
         if self.cfg.host_budget <= 0:
             # FIFO: fetched seqs are exactly the prefix [0, watermark) —
             # D5's _oldestUnfetchedIndex as a pushed-down range predicate;
@@ -225,19 +227,19 @@ class CrawlEngine:
             # skips missing dirs, and a limit(0) write would let Catalyst
             # prune the observe node (breaking the free counters below)
             numbered = numbered.persist()
+            # ONE unified delta: the frontier log and the url_seen table are
+            # the same rows (as the reference's queue and _scanIndex share
+            # entries) — a single bucket-partitioned write serves scheduling
+            # (seq-pruned), exact dedupe (url_hash-pruned) AND the sidecar
+            # update, saving a job + a shuffle every round.
             queued = numbered.withColumn("round_queued", F.lit(rnd)).select(*QUEUED_COLS, "round_queued")
-            queued.write.mode("overwrite").parquet(self.wh.round_dir("queued", rnd))
-            t = self._tick("queued_write", t)
-
-            # seen delta (+ sidecars in tiered mode) — reuse the persisted delta
-            seen_src = numbered.select("url_hash", "url_norm", "seq")
             if cfg.dedupe_mode == "tiered":
-                dd.register_new(seen_src, self.wh.root, self.wh.round_dir("seen", rnd),
+                dd.register_new(queued, self.wh.root, self.wh.round_dir("seen", rnd),
                                 cfg.n_buckets, cfg.seen_capacity, cfg.bloom_bits_per_key)
             else:
-                dd.with_bucket(seen_src, cfg.n_buckets) \
+                dd.with_bucket(queued, cfg.n_buckets) \
                     .write.mode("overwrite").partitionBy("bucket").parquet(self.wh.round_dir("seen", rnd))
-            t = self._tick("seen_write", t)
+            t = self._tick("frontier_seen_write", t)
             numbered.unpersist()
 
         try:

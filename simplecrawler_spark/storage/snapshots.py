@@ -33,7 +33,9 @@ import time
 
 
 class Warehouse:
-    TABLES = ("queued", "fetched", "seen", "metrics")
+    # "seen" holds the unified frontier/url_seen delta (one write serves
+    # both roles — see operators/dedupe.register_new)
+    TABLES = ("fetched", "seen", "metrics")
 
     def __init__(self, root: str):
         self.root = root

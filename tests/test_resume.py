@@ -50,7 +50,7 @@ def test_kill_and_resume_identical(spark, corpus, tmp_path):
     eng1.run()
     # simulate a crash mid-round-4: orphan uncommitted delta dirs
     wh_root = str(tmp_path / "wh_part")
-    for t in ("queued", "fetched"):
+    for t in ("seen", "fetched"):
         os.makedirs(os.path.join(wh_root, t, "round=99"), exist_ok=True)
         with open(os.path.join(wh_root, t, "round=99", "part-junk.parquet"), "w") as f:
             f.write("garbage")
@@ -61,7 +61,7 @@ def test_kill_and_resume_identical(spark, corpus, tmp_path):
 
     eng2 = CrawlEngine(spark, _cfg(wh_root), web, robots=robots)
     resumed = eng2.run(resume=True)
-    assert not os.path.isdir(os.path.join(wh_root, "queued", "round=99"))
+    assert not os.path.isdir(os.path.join(wh_root, "seen", "round=99"))
     got = _tables(spark, resumed)
     assert got == want
 
