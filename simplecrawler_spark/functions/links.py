@@ -86,6 +86,25 @@ def _clean_raw(s: str) -> str | None:
     return s
 
 
+_DROP_RE = re.compile(r"^(#|$)|^(mailto|javascript|data|tel):", re.I)
+
+
+def _clean_raw_series(s: pd.Series) -> pd.Series:
+    """Vectorized :func:`_clean_raw`: pandas .str passes (C speed) for the
+    wrapper/quote strips and drop tests; the rare entity-decode residue falls
+    back to :func:`html.unescape` on its subset only. Semantics must match
+    the scalar version exactly — tests/test_links_robots.py cross-checks."""
+    s = s.astype("object").fillna("")
+    s = s.str.strip().str.replace(_WRAPPER_RE, "", regex=True)
+    s = s.str.strip().str.replace(_QUOTE_RE, "", regex=True)
+    amp = s.str.contains("&", regex=False) & s.str.contains(_AMP_ONLY, regex=True)
+    if amp.any():
+        s[amp] = s[amp].map(html.unescape)
+    dropped = s.str.match(_DROP_RE)
+    out = s.where(~dropped, None)
+    return out.mask(out == "", None)
+
+
 def clean_expand_series(
     links: pd.Series,
     base: pd.Series,
@@ -95,35 +114,34 @@ def clean_expand_series(
 ) -> pd.Series:
     """Per-page raw link arrays → canonical, in-page-deduped link arrays.
 
-    Flatten → vectorized canonicalize (F1 fast path) → regroup → first-wins
-    dedupe per page. Returns a Series of list[str].
+    Flatten (numpy repeat for the base column) → vectorized cleanup →
+    vectorized canonicalize (F1 fast paths) → order-preserving first-wins
+    dedupe via ``drop_duplicates`` on (page, url) → regroup. Returns a
+    Series of list[str]. No per-link Python except the tiny entity-decode
+    and canonicalizer slow-path residues.
     """
     lists = [l if l is not None else [] for l in links]
     lens = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
-    if lens.sum() == 0:
+    total = int(lens.sum())
+    n_pages = len(lists)
+    if total == 0:
         return pd.Series([[] for _ in lists])
-    flat_raw: list[str | None] = []
-    flat_base: list[str] = []
-    basev = base.to_numpy()
-    for i, l in enumerate(lists):
-        for s in l:
-            flat_raw.append(_clean_raw(s) if s is not None else None)
-            flat_base.append(basev[i])
+    flat_raw = pd.Series(
+        [s for l in lists for s in l], dtype=object
+    )
+    page_idx = np.repeat(np.arange(n_pages, dtype=np.int64), lens)
+    flat_base = pd.Series(base.to_numpy()[page_idx], dtype=object)
+    cleaned = _clean_raw_series(flat_raw)
     canon = canonicalize_series(
-        pd.Series(flat_raw, dtype=object),
-        pd.Series(flat_base, dtype=object),
+        cleaned, flat_base,
         strip_querystring=strip_querystring,
         sort_query_parameters=sort_query_parameters,
         strip_www_domain=strip_www_domain,
-    ).to_numpy()
-    out, pos = [], 0
-    for n in lens:
-        seen: set[str] = set()
-        page: list[str] = []
-        for u in canon[pos : pos + n]:
-            if u is not None and u not in seen:
-                seen.add(u)
-                page.append(u)
-        out.append(page)
-        pos += int(n)
+    )
+    df = pd.DataFrame({"p": page_idx, "u": canon.to_numpy()})
+    df = df.dropna(subset=["u"]).drop_duplicates(subset=["p", "u"], keep="first")
+    grouped = df.groupby("p", sort=True)["u"].agg(list)
+    out = [[] for _ in range(n_pages)]
+    for p, l in grouped.items():
+        out[p] = l
     return pd.Series(out)

@@ -93,3 +93,17 @@ def test_parse_robots_txt():
     assert d == ["/private/"] and a == ["/private/ok"] and cd == 2.5
     d2, _, _ = parse_robots_txt(body, "the-special bot")
     assert d2 == ["/"]
+
+
+def test_vectorized_cleanup_matches_scalar():
+    import numpy as np
+    from simplecrawler_spark.functions.links import _clean_raw_series
+
+    rng = np.random.default_rng(9)
+    pieces = ["/p/1", " href=\"/x\" ", "url(/bg.png)", "mailto:a@b", "#top", "",
+              "javascript:void(0)", "/a?x=1&amp;y=2", "  '/q/2'  ", "//h/p", "B&amp;W",
+              "DATA:text/plain,x", "tel:123", "p/rel", "../up", "/end)"]
+    raws = [str(rng.choice(pieces)) for _ in range(500)] + [None]
+    got = list(_clean_raw_series(pd.Series(raws, dtype=object)))
+    want = [_clean_raw(r) if r is not None else None for r in raws]
+    assert got == want
