@@ -77,7 +77,6 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 def minhash_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
     """LSH banding: equal band-hash ⇒ candidate pair. The only shuffle is
     groupBy(band, band_hash) — linear in corpus size."""
-    num_perm = bands  # rows per band derived below from actual length
     banded = signatures.select(
         "doc_id",
         F.posexplode(
