@@ -28,13 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.plans.crawl import CrawlEngine, CrawlResult
 
-# queue.js whitelist (maps to fetched_log/state columns we materialize)
+# queue.js whitelist (maps to fetched_log stateData columns — D2 telemetry
+# rides on every fetched row; see corpus.py request_latency_ms et al.)
 _STATS = {
     "actualDataSize": "body_size",
     "contentLength": "body_size",
-    "downloadTime": None,     # no wall-clock fetch in table mode
-    "requestLatency": None,
-    "requestTime": None,
+    "downloadTime": "download_time_ms",
+    "requestLatency": "request_latency_ms",
+    "requestTime": "request_time_ms",
 }
 
 
@@ -132,17 +133,30 @@ class Crawler:
                 f"statistic {statistic!r} undefined in table-fetch mode")
         return col
 
+    def _all_stats(self) -> dict:
+        """max/min/avg for every whitelisted statistic in ONE job (the
+        reference answers these from an in-memory array; three jobs per call
+        would be gratuitous). Cached per crawl result."""
+        assert self.result is not None, "crawl has not run"
+        cached = getattr(self, "_stats_cache", None)
+        if cached is not None and cached[0] is self.result:
+            return cached[1]
+        cols = sorted({c for c in _STATS.values()})
+        row = self._fetched().agg(
+            *[f(c).alias(f"{n}_{c}") for c in cols
+              for n, f in (("max", F.max), ("min", F.min), ("avg", F.avg))]
+        ).collect()[0].asDict()
+        self._stats_cache = (self.result, row)
+        return row
+
     def queue_max(self, statistic: str) -> float:
-        c = self._stat_col(statistic)
-        return self._fetched().agg(F.max(c)).collect()[0][0]
+        return self._all_stats()[f"max_{self._stat_col(statistic)}"]
 
     def queue_min(self, statistic: str) -> float:
-        c = self._stat_col(statistic)
-        return self._fetched().agg(F.min(c)).collect()[0][0]
+        return self._all_stats()[f"min_{self._stat_col(statistic)}"]
 
     def queue_avg(self, statistic: str) -> float:
-        c = self._stat_col(statistic)
-        return self._fetched().agg(F.avg(c)).collect()[0][0]
+        return self._all_stats()[f"avg_{self._stat_col(statistic)}"]
 
     def queue_length(self) -> int:
         assert self.result is not None

@@ -39,10 +39,17 @@ class CrawlConfig:
     # --- depth / size / MIME gates ---
     max_depth: int = 0                     # maxDepth, 0 = unlimited
     max_resource_size: int = 16 * 1024 * 1024  # maxResourceSize
+    # (?i): the reference's defaults carry the /i flag (e.g. /^text\//i) —
+    # a server returning 'Text/HTML' must still classify as supported
     supported_mime_types: list[str] = field(
-        default_factory=lambda: [r"^text/", r"^application/(rss|html|xhtml)?[+/-]?xml", r"^application/javascript", r"^xml"]
+        default_factory=lambda: [r"(?i)^text/", r"(?i)^application/(rss|html|xhtml)?[+/-]?xml",
+                                 r"(?i)^application/javascript", r"(?i)^xml"]
     )
     download_unsupported: bool = True      # downloadUnsupported
+    # fetchWhitelistedMimeTypesBelowMaxDepth (crawler.js:≈L980–1000): URLs
+    # whose extension implies a whitelisted MIME may exceed maxDepth — by any
+    # amount (True) or by at most N extra levels (int). False = plain gate.
+    fetch_whitelisted_mime_below_max_depth: bool | int = False
 
     # --- robots ---
     respect_robots_txt: bool = True        # respectRobotsTxt
@@ -55,7 +62,10 @@ class CrawlConfig:
     budget: int = 4096                     # global fetch budget per round (maxConcurrency analog)
     host_budget: int = 0                   # per-host per-round cap; 0 = no per-host cap (reference parity)
     max_rounds: int = 10_000               # runaway backstop
-    honor_crawl_delay: bool = False        # north_rule extension; off in reference-parity mode
+    honor_crawl_delay: bool = False        # north_rule politeness: robots Crawl-delay
+    round_seconds: float = 1.0             # wall-time a BSP round represents; with
+                                           # honor_crawl_delay, a host with Crawl-delay d
+                                           # gets max(1, floor(round_seconds/d)) fetches/round
 
     # --- engine / scale knobs (no reference analog) ---
     n_buckets: int = 32                    # url_seen hash-partition buckets (bloom/cuckoo sidecars per bucket)

@@ -83,28 +83,35 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         grp = robots_group_of(h)
         r = rng.random()
         is_image = rng.random() < p.frac_image and j > 0
-        if r < 0.85:
+        if r < 0.84:
             code = 200
-        elif r < 0.93:
-            code = 301 if rng.random() < 0.5 else 302
-        elif r < 0.97:
+        elif r < 0.92:
+            # full 3xx family the reference's handleResponse covers
+            code = [301, 302, 303, 307, 308][int(rng.integers(5))]
+        elif r < 0.955:
             code = 404
-        elif r < 0.98:
+        elif r < 0.965:
             code = 410
-        else:
+        elif r < 0.975:
             code = 304
+        elif r < 0.99:
+            code = 403  # non-special 4xx → fetcherror
+        else:
+            code = 500  # 5xx → fetcherror
         redirect_to = None
-        if code in (301, 302):
+        if 300 <= code <= 399 and code != 304:
             # redirect within host (chains up to ~4 arise naturally; self-loop
             # avoided; occasional cycle pairs by construction of rng)
             tj = int(rng.integers(int(sizes[h])))
             redirect_to = url_of(h, tj, False)
             is_image = False
         content_type = "image/png" if is_image and code == 200 else "text/html"
+        if content_type == "text/html" and rng.random() < 0.05:
+            content_type = "Text/HTML"  # exercises the reference's /i MIME flag
         image_id = f"img-{i:08d}" if content_type.startswith("image/") else None
         caption = _caption(rng, i) if image_id else None
         links: list[str] = []
-        if code == 200 and content_type == "text/html":
+        if code == 200 and content_type.lower() == "text/html":
             deg = int(min(np.ceil(rng.lognormal(np.log(max(p.mean_degree, 1.1)), 0.6)), 40))
             for k in range(deg):
                 rr = rng.random()
@@ -136,14 +143,20 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         body_size = int(rng.integers(500, 50_000)) if not image_id else int(rng.integers(800, 8_000))
         if rng.random() < 0.001:
             body_size = 20 * 1024 * 1024  # exercises maxResourceSize gate
+        # stateData telemetry (D2, queue.js:≈L180–260 statistics whitelist):
+        # deterministic per-URL latencies — what a real fetch would time
+        request_latency = round(float(rng.uniform(5.0, 400.0)), 3)
+        download_time = round(body_size / 1024.0 / float(rng.uniform(2.0, 20.0)), 3)
         rows.append(
             (i, url, host_name(h), code, redirect_to, content_type, links,
-             image_id, caption, grp, body_size)
+             image_id, caption, grp, body_size,
+             request_latency, download_time, round(request_latency + download_time, 3))
         )
     return pd.DataFrame(
         rows,
         columns=["url_id", "url_norm", "host", "status_code", "redirect_to",
-                 "content_type", "links", "image_id", "caption", "robots_group", "body_size"],
+                 "content_type", "links", "image_id", "caption", "robots_group", "body_size",
+                 "request_latency_ms", "download_time_ms", "request_time_ms"],
     )
 
 
@@ -209,7 +222,8 @@ def robots_table(p: CorpusParams) -> pd.DataFrame:
 WEB_SCHEMA = (
     "url_id long, url_norm string, host string, status_code int, redirect_to string, "
     "content_type string, links array<string>, image_id string, caption string, "
-    "robots_group string, body_size long"
+    "robots_group string, body_size long, "
+    "request_latency_ms double, download_time_ms double, request_time_ms double"
 )
 IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
 

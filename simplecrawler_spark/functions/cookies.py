@@ -115,3 +115,39 @@ class CookieJar:
         for r in rows:
             jar.cookies.append(Cookie(r[0], r[1], r[2], r[3], r[4], bool(r[5]), bool(r[6])))
         return jar
+
+
+def outbound_header_series(hosts, paths, cookies: list[Cookie], now: float | None = None):
+    """Vectorized ``Cookie:`` header for a whole Arrow batch of (host, path)
+    rows — the fetch-seam fast path (``getRequestOptions`` builds this header
+    per queue item, ``lib/crawler.js:≈L1140–1230``). Semantics identical to
+    ``CookieJar.outbound_header`` (crosscheck-tested); the loop is over the
+    (config-scale, tiny) cookie list, never over rows."""
+    import numpy as np
+    import pandas as pd
+
+    now = now or time.time()
+    hl = hosts.fillna("").astype(str).str.lower().str.rstrip(".")
+    pl = paths.fillna("/").astype(str)
+    pl = pl.where(pl != "", "/")
+    n = len(hl)
+    out = np.full(n, "", dtype=object)
+    # RFC 6265 §5.4 order: longer paths first, stable creation order on ties
+    for c in sorted(cookies, key=lambda c: -len(c.path)):
+        if c.expired(now):
+            continue
+        if c.domain == "*":
+            dm = np.ones(n, dtype=bool)
+        else:
+            dm = ((hl == c.domain) | hl.str.endswith("." + c.domain)).to_numpy()
+        sw = pl.str.startswith(c.path)
+        if c.path.endswith("/"):
+            pm = sw.to_numpy()
+        else:
+            nxt = pl.str[len(c.path)]
+            pm = (sw & ((pl.str.len() == len(c.path)) | (nxt == "/"))).to_numpy()
+        m = dm & pm
+        if m.any():
+            sep = np.where(out[m] == "", "", "; ")
+            out[m] = out[m] + sep + c.header_pair()
+    return pd.Series(out, index=hosts.index, dtype=object)

@@ -153,6 +153,22 @@ def admit(cands: DataFrame, robots: DataFrame, cfg: CrawlConfig, seed_hosts: lis
         if cfg.max_depth <= 0
         else (F.col("depth") <= cfg.max_depth)
     )
+    allow = cfg.fetch_whitelisted_mime_below_max_depth
+    if cfg.max_depth > 0 and allow:
+        # P5 allowance (depthAllowed, crawler.js:≈L980–1000): URLs whose
+        # extension implies a whitelisted MIME may exceed maxDepth — without
+        # bound (True) or by at most `allow` extra levels (int)
+        from simplecrawler_spark.functions.mime import EXT_MIME, EXT_PATTERN
+
+        ext = F.lower(F.regexp_extract(F.col("url_norm"), EXT_PATTERN, 1))
+        pairs = [x for kv in EXT_MIME.items() for x in kv]
+        mime_guess = F.element_at(F.create_map(*[F.lit(x) for x in pairs]), ext)
+        guessed_ok = F.lit(False)
+        for pat in cfg.supported_mime_types:
+            guessed_ok = guessed_ok | mime_guess.rlike(pat)
+        within = (F.lit(True) if allow is True
+                  else F.col("depth") <= cfg.max_depth + int(allow))
+        depth_ok = depth_ok | (mime_guess.isNotNull() & guessed_ok & within)
     cond_ok = condition_col(df.columns, fetch_conditions or [])
     return df.withColumn(
         "reject",

@@ -97,10 +97,15 @@ def cuckoo_check(table: np.ndarray, h: np.ndarray) -> np.ndarray:
 def cuckoo_add(table: np.ndarray, h: np.ndarray, rng_seed: int = 7) -> bool:
     """Insert all; returns False if table overflowed (caller must resize —
     engine sizes from ``seen_capacity`` so this is a guard, not a path).
-    Vectorized first-choice waves; eviction loop only for the residue."""
+    Vectorized first-choice waves; eviction loop only for the residue.
+
+    Idempotent: keys whose fingerprint is already present in either candidate
+    bucket are skipped, so a retried/speculative task re-running the same
+    batch does not inflate occupancy (and cannot trigger a spurious
+    overflow)."""
     fp = _fingerprints(h)
     b1, b2 = _buckets(h, fp, table.shape[0])
-    pending = np.arange(len(h))
+    pending = np.arange(len(h))[~cuckoo_check(table, h)]
     for bsel in (b1, b2):
         if not len(pending):
             break
@@ -190,7 +195,11 @@ def filter_new(
     if mode == "exact":
         if seen_df is None:
             return cands
-        return cands.join(seen_df.select("url_hash"), "url_hash", "left_anti")
+        # join on (url_hash, url_norm): the hash keeps the shuffle key cheap,
+        # the string confirms — hash-only would silently drop a new URL on a
+        # 64-bit collision (O(1) expected at the 10^10-URL design scale)
+        return cands.join(seen_df.select("url_hash", "url_norm"),
+                          ["url_hash", "url_norm"], "left_anti")
 
     bloom_bytes, k, nb = sidecar_params(seen_capacity, n_buckets, bits_per_key)
     cands = with_bucket(cands, n_buckets)
@@ -211,13 +220,17 @@ def filter_new(
                 if os.path.isdir(d):
                     files += [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
             if files:
+                # hash-pruned read, then confirm on the full URL string —
+                # tiers 1–3 by hash are prefilters; membership is by url_norm
+                # (the reference's _scanIndex keys on the URL itself)
                 ds = pads.dataset(files, format="parquet")
                 tbl = ds.to_table(
-                    columns=["url_hash"],
+                    columns=["url_hash", "url_norm"],
                     filter=pads.field("url_hash").isin(pd.unique(h[maybe])),
                 )
-                seen_set = set(tbl.column("url_hash").to_pylist())
-                maybe[maybe] &= pd.Series(h[maybe]).isin(seen_set).to_numpy()
+                seen_set = set(tbl.column("url_norm").to_pylist())
+                maybe[maybe] &= pd.Series(
+                    pdf["url_norm"].to_numpy()[maybe]).isin(seen_set).to_numpy()
             else:
                 maybe[:] = False
         return pdf[~maybe]

@@ -30,7 +30,8 @@ from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.operators.admission import condition_col
 
 WEB_COLS = ["url_norm", "status_code", "redirect_to", "content_type", "links",
-            "image_id", "caption", "body_size"]
+            "image_id", "caption", "body_size",
+            "request_latency_ms", "download_time_ms", "request_time_ms"]
 
 
 def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None) -> DataFrame:
@@ -42,7 +43,11 @@ def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None)
     # a frontier batch row is ~100 B; up to ~1M rows (~100 MB) broadcasting
     # beats a 3-way shuffle of the (much wider) corpus scan
     b = F.broadcast(batch) if (batch_rows is None or batch_rows <= 1_000_000) else batch
-    hits = web.select(*WEB_COLS).join(b, "url_norm")
+    # telemetry columns are optional on the web table (older corpora /
+    # hand-built fixtures): absent ones surface as nulls
+    wsel = [F.col(c) if c in web.columns else F.lit(None).cast("double").alias(c)
+            for c in WEB_COLS]
+    hits = web.select(*wsel).join(b, "url_norm")
     misses = batch.join(hits.select("url_norm"), "url_norm", "left_anti")
     for c in WEB_COLS[1:]:
         misses = misses.withColumn(c, F.lit(None).cast(hits.schema[c].dataType))
@@ -61,8 +66,13 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
     status = (
         F.when(~F.col("found"), "failed")
         .when(F.col("status_code") == 304, "notmodified")
-        .when(F.col("status_code").isin(301, 302) & F.col("redirect_to").isNotNull(), "redirected")
+        # any 3xx with a Location is a redirect (handleResponse,
+        # crawler.js:≈L1390–1430) — 301/302/303/307/308 alike
+        .when(F.col("status_code").between(300, 399) & F.col("redirect_to").isNotNull(),
+              "redirected")
         .when(F.col("status_code").isin(404, 410), "notfound")
+        # remaining non-2xx (Location-less 3xx, other 4xx, 5xx) → fetcherror
+        .when(~F.col("status_code").between(200, 299), "failed")
         .when(F.col("body_size") > cfg.max_resource_size, "dataerror")
         .when(~dl_ok, "downloadprevented")
         .when(~mime_ok & ~F.lit(cfg.download_unsupported), "downloadprevented")
@@ -139,11 +149,49 @@ def verify_payloads(downloaded: DataFrame, images: DataFrame,
     return joined.mapInPandas(decode_verify, schema=PAYLOAD_SCHEMA)
 
 
+def build_request_headers(batch: DataFrame, cfg: CrawlConfig,
+                          cookie_rows: list | None = None,
+                          cache: DataFrame | None = None) -> DataFrame:
+    """``getRequestOptions`` analog (``lib/crawler.js:≈L1140–1230``): annotate
+    the fetch batch with the outbound request headers the real seam sends —
+    ``User-Agent`` (config), ``Cookie`` (jar match by host/path, RFC 6265 §5.4
+    ordering, vectorized), ``If-None-Match``/cached payload ref (conditional
+    GET, J3 — see operators/cache.with_conditional_headers).
+
+    ``cookie_rows`` is ``CookieJar.to_rows()`` — a tiny config-scale list
+    closed over by the pandas UDF (regenerated per executor; nothing
+    broadcast). Consumed by :func:`http_fetch`; unit-tested standalone so the
+    seam's header contract is pinned without a network."""
+    from pyspark.sql.types import StringType
+
+    from simplecrawler_spark.functions.cookies import CookieJar, outbound_header_series
+    from simplecrawler_spark.operators.cache import with_conditional_headers
+
+    out = with_conditional_headers(batch, cache)
+    rows = [tuple(r) for r in (cookie_rows or [])]
+
+    @F.pandas_udf(StringType())
+    def cookie_hdr(host: pd.Series, path: pd.Series) -> pd.Series:
+        jar = CookieJar.from_rows(rows)
+        s = outbound_header_series(host, path, jar.cookies)
+        return s.where(s != "", None)
+
+    path = F.regexp_replace(F.col("url_norm"), r"^[a-z]+://[^/]+", "")
+    out = out.withColumn("hdr_user_agent", F.lit(cfg.user_agent))
+    if rows:
+        out = out.withColumn("hdr_cookie", cookie_hdr(F.col("host"), path))
+    else:
+        out = out.withColumn("hdr_cookie", F.lit(None).cast("string"))
+    return out.withColumn("hdr_if_none_match", F.col("cached_etag"))
+
+
 def http_fetch(batch: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Real-network fetch seam (S2 on a cluster): mapInPandas batches issuing
-    HTTP GETs with per-host crawl_delay pacing inside each Arrow batch.
-    The sandbox has no network and no HTTP client lib — deliberately stubbed;
-    the join-based :func:`fetch_batch` is the tested drop-in."""
+    HTTP GETs with per-host crawl_delay pacing inside each Arrow batch, using
+    the per-row headers from :func:`build_request_headers` (UA, Cookie,
+    If-None-Match). The sandbox has no network and no HTTP client lib —
+    deliberately stubbed; the join-based :func:`fetch_batch` is the tested
+    drop-in (same output schema, same downstream plan)."""
     raise NotImplementedError(
         "real HTTP fetch requires network access; use fetch_batch(web) — "
         "same output schema, same downstream plan"

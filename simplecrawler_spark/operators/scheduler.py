@@ -17,8 +17,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+_NO_CAP = 1 << 30  # effectively unlimited per-host cap
+
+
 def select_batch(remaining: DataFrame, budget: int, host_budget: int = 0,
-                 hot_host_threshold: int = 100_000, n_salts: int = 8) -> DataFrame:
+                 hot_host_threshold: int = 100_000, n_salts: int = 8,
+                 host_caps: DataFrame | None = None) -> DataFrame:
     """Pick this round's fetch batch.
 
     * Global FIFO (reference parity, ``host_budget=0``): lowest-B ``seq`` —
@@ -27,23 +31,36 @@ def select_batch(remaining: DataFrame, budget: int, host_budget: int = 0,
     * Per-host politeness (north_rule): two-stage skew-safe top-k — stage 1
       ranks within (host, salt) so one hot host's rows split across
       ``n_salts`` tasks instead of one giant window partition, keeping at
-      most ``host_budget`` per salt; stage 2 ranks the survivors (≤
-      n_salts × host_budget per host) exactly. Then global FIFO limit.
+      most the per-host cap per salt; stage 2 ranks the survivors (≤
+      n_salts × cap per host) exactly. Then global FIFO limit.
+    * ``host_caps`` (host, cap): robots Crawl-delay budgets (J6) — a small
+      relation broadcast onto the frontier; the effective per-host cap is
+      ``least(host_budget, cap)`` with absent values unlimited. Stays fully
+      distributed — no driver-side host list at any scale.
     """
-    if host_budget <= 0:
+    if host_budget <= 0 and host_caps is None:
         return remaining.orderBy("seq").limit(budget)
+    hb = F.lit(host_budget if host_budget > 0 else _NO_CAP)
+    if host_caps is not None:
+        remaining = remaining.join(F.broadcast(host_caps), "host", "left")
+        cap = F.least(hb, F.coalesce(F.col("cap"), F.lit(_NO_CAP)))
+    else:
+        cap = hb
     salted = remaining.withColumn(
         "_salt", F.pmod(F.xxhash64("url_hash"), F.lit(n_salts)).cast("int")
     )
     w1 = Window.partitionBy("host", "_salt").orderBy("seq")
     stage1 = salted.withColumn("_r1", F.row_number().over(w1)).where(
-        F.col("_r1") <= host_budget
+        F.col("_r1") <= cap
     )
     w2 = Window.partitionBy("host").orderBy("seq")
     stage2 = stage1.withColumn("_r2", F.row_number().over(w2)).where(
-        F.col("_r2") <= host_budget
+        F.col("_r2") <= cap
     )
-    return stage2.drop("_salt", "_r1", "_r2").orderBy("seq").limit(budget)
+    out = stage2.drop("_salt", "_r1", "_r2")
+    if host_caps is not None:
+        out = out.drop("cap")
+    return out.orderBy("seq").limit(budget)
 
 
 def assign_seq(cands: DataFrame, next_seq: int, n_parts: int = 32,

@@ -17,12 +17,40 @@ Shapes:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_LOG = logging.getLogger(__name__)
+
+
+def drop_hot_buckets(df: DataFrame, keys: list[str], cap: int, what: str) -> DataFrame:
+    """Cap LSH bucket sizes — the thing that actually kills LSH jobs on real
+    web corpora: one degenerate key (empty/boilerplate docs) turns a blocked
+    equi-join quadratic (O(|bucket|²) pairs) or OOMs a single collect_set row.
+
+    Keys with more than ``cap`` members are dropped from pair generation
+    entirely (they are boilerplate, not near-duplicate signal) and the
+    dropped mass is LOGGED — never a silent truncation. The count aggregation
+    is map-side combinable (cheap); the hot-key set is tiny by construction
+    (≤ |df|/cap keys) so the removal is a broadcast anti-join."""
+    if cap is None or cap <= 0:
+        return df
+    hot = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+           .where(F.col("_n") > cap))
+    stats = hot.agg(F.count(F.lit(1)).alias("k"),
+                    F.sum("_n").alias("rows")).collect()[0]
+    if stats["k"]:
+        _LOG.warning(
+            "%s: dropped %d hot bucket(s) above cap=%d (%d member rows) — "
+            "degenerate/boilerplate-heavy keys excluded from pair generation",
+            what, stats["k"], cap, stats["rows"])
+        return df.join(F.broadcast(hot.select(*keys)), list(keys), "left_anti")
+    return df
 
 
 def exact_dupes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -74,9 +102,12 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
         sig, schema=f"doc_id long, signature array<long>")
 
 
-def minhash_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def minhash_pairs(signatures: DataFrame, bands: int = 16,
+                  max_bucket: int = 4096) -> DataFrame:
     """LSH banding: equal band-hash ⇒ candidate pair. The only shuffle is
-    groupBy(band, band_hash) — linear in corpus size."""
+    groupBy(band, band_hash) — linear in corpus size. Buckets larger than
+    ``max_bucket`` are dropped (logged) before the collect_set — see
+    :func:`drop_hot_buckets`."""
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -92,6 +123,8 @@ def minhash_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+    banded = drop_hot_buckets(banded, ["band", "band_hash"], max_bucket,
+                              "minhash_pairs")
     grouped = banded.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     ).where(F.size("ids") > 1)
@@ -156,10 +189,14 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
     return docs.select(id_col, text_col).mapInPandas(fp, schema="doc_id long, simhash long")
 
 
-def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(fps: DataFrame, max_hamming: int = 3,
+                  max_bucket: int = 4096) -> DataFrame:
     """Pigeonhole blocking: split 64 bits into 4 segments — Hamming ≤ 3 ⇒ at
     least one 16-bit segment identical ⇒ equi-join per segment, then exact
-    Hamming filter via bit_count(xor). No cross join."""
+    Hamming filter via bit_count(xor). No cross join. Segment values shared
+    by more than ``max_bucket`` docs self-join quadratically — dropped
+    (logged); a true near-dup pair inside a dropped segment still has three
+    other pigeonhole segments to collide on."""
     seg = fps.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
@@ -167,6 +204,7 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
             for s in range(4)
         ])).alias("seg_id", "seg_val"),
     )
+    seg = drop_hot_buckets(seg, ["seg_id", "seg_val"], max_bucket, "simhash_pairs")
     a = seg.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "seg_id", "seg_val")
     b = seg.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "seg_id", "seg_val")
     cand = a.join(b, ["seg_id", "seg_val"]).where(F.col("a") < F.col("b"))

@@ -90,10 +90,17 @@ def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.95,
                          n_bits: int = 12, seed: int = 42,
-                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         max_bucket: int = 4096) -> DataFrame:
     """Near-duplicate vector pairs: LSH-bucket equi-join (near-identical
-    vectors collide with high probability), exact cosine inside buckets."""
+    vectors collide with high probability), exact cosine inside buckets.
+    Buckets above ``max_bucket`` (e.g. the all-zeros bucket from empty
+    embeddings) are dropped with a logged warning — see
+    :func:`~simplecrawler_spark.pipeline.dedup.drop_hot_buckets`."""
+    from simplecrawler_spark.pipeline.dedup import drop_hot_buckets
+
     sigs = hyperplane_signatures(embeddings, n_bits, seed, id_col, vec_col)
+    sigs = drop_hot_buckets(sigs, ["bucket"], max_bucket, "embedding_near_dupes")
     e = embeddings.join(sigs, id_col)
     a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")

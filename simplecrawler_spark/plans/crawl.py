@@ -103,12 +103,11 @@ class CrawlEngine:
                  corpus_params=None, robots_txt: DataFrame | None = None):
         self.spark, self.cfg = spark, cfg
         self.web, self.images, self.robots = web, images, robots
-        # S3 lazy mode: robots.txt BODIES fetched per new host, parsed with the
-        # shared parser. Driver-side cache is fine up to ~10^6 hosts; at full
-        # scale this becomes an upserted `robots` table (SURVEY.md §2.1 S3).
+        # S3 lazy mode: robots.txt BODIES fetched per new host (anti-join vs
+        # the upserted warehouse `robots` delta table), parsed distributed,
+        # appended as a per-round delta — no driver-side host list at any
+        # scale (SURVEY.md §2.1 S3).
         self.robots_txt = robots_txt
-        self._robots_seen: set[str] = set()
-        self._robots_rules: list[tuple] = []
         if cfg.robots_mode == "lazy":
             self.robots = None
         self.fetch_conditions = fetch_conditions or []
@@ -127,11 +126,28 @@ class CrawlEngine:
         return now
 
     # ---- helpers ----
+    def _host_caps(self) -> DataFrame | None:
+        """J6 — robots Crawl-delay → per-host per-round fetch cap:
+        ``max(1, floor(round_seconds / crawl_delay))``. A tiny relation
+        derived from the (already broadcast-sized) robots table; joined onto
+        the frontier in select_batch — never a driver-side host list."""
+        cfg = self.cfg
+        if not cfg.honor_crawl_delay or self.robots is None:
+            return None
+        return self.robots.where(F.col("crawl_delay").isNotNull()).select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(float(cfg.round_seconds)) / F.col("crawl_delay")),
+            ).cast("int").alias("cap"),
+        )
+
     def _bump(self, name: str, n: int) -> None:
         if n:
             self.events[name] = self.events.get(name, 0) + int(n)
 
-    def _write_metrics(self, rnd: int, rows: list[tuple[str, int]]) -> None:
+    def _write_metrics(self, rnd: int, rows: list[tuple[str, int]],
+                       filename: str = "part-0.parquet") -> None:
         # metrics are driver-local counters — write the tiny parquet directly
         # with pyarrow (no Spark job); schema matches a Spark-readable table
         import pyarrow as pa
@@ -146,9 +162,9 @@ class CrawlEngine:
         })
         d = self.wh.round_dir("metrics", rnd)
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".part-0.tmp{os.getpid()}.parquet")
+        tmp = os.path.join(d, f".{filename}.tmp{os.getpid()}.parquet")
         pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+        os.replace(tmp, os.path.join(d, filename))
 
     def _remaining(self, upto_round: int, watermark: int) -> DataFrame:
         queued = self.spark.read.option(
@@ -156,10 +172,11 @@ class CrawlEngine:
         ).parquet(*self.wh.round_paths("seen", upto_round)).where(
             F.col("seq") >= watermark
         ).select(*QUEUED_COLS, "round_queued")
-        if self.cfg.host_budget <= 0:
+        if self.cfg.host_budget <= 0 and not self.cfg.honor_crawl_delay:
             # FIFO: fetched seqs are exactly the prefix [0, watermark) —
             # D5's _oldestUnfetchedIndex as a pushed-down range predicate;
-            # no anti-join needed at all.
+            # no anti-join needed at all. (With host budgets or crawl-delay
+            # caps the batch skips items, so the prefix property breaks.)
             return queued
         fpaths = self.wh.round_paths("fetched", upto_round)
         if not fpaths:
@@ -186,7 +203,7 @@ class CrawlEngine:
         cfg = self.cfg
         t = _t.time()
         if cfg.robots_mode == "lazy" and cfg.respect_robots_txt:
-            self._lazy_robots_update(cands)
+            self._lazy_robots_update(cands, rnd)
         gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions)
         # admission counters ride along with the first downstream action —
         # zero extra jobs (Spark Observation; one pass, A.2 single-scan)
@@ -203,12 +220,13 @@ class CrawlEngine:
         # in-batch first-wins dedupe (U3/J1): min_by over (parent_seq,
         # link_idx) — map-side combinable partial agg, so heavily duplicated
         # candidates collapse BEFORE the shuffle (a row_number window would
-        # shuffle+sort every candidate row)
-        cols = [c for c in admitted.columns if c != "url_hash"]
+        # shuffle+sort every candidate row). Keyed on (url_hash, url_norm):
+        # the string disambiguates 64-bit hash collisions.
+        cols = [c for c in admitted.columns if c not in ("url_hash", "url_norm")]
         first = (
-            admitted.groupBy("url_hash")
+            admitted.groupBy("url_hash", "url_norm")
             .agg(F.min_by(F.struct(*cols), F.struct("parent_seq", "link_idx")).alias("_s"))
-            .select("url_hash", "_s.*")
+            .select("url_hash", "url_norm", "_s.*")
         )
 
         seen_paths = self.wh.round_paths("seen", rnd - 1) if rnd > 0 else []
@@ -261,29 +279,76 @@ class CrawlEngine:
         new.unpersist()
         return n_new, metrics_rows
 
-    def _lazy_robots_update(self, cands: DataFrame) -> None:
-        """S3 — lazy per-origin robots.txt: on first encounter of a host,
-        "fetch" its robots.txt body (join vs the robots_txt table in-sandbox;
-        HTTP GET on a cluster) and parse with the shared RFC-9309 parser
-        (reference: ``getRobotsTxt``, ``lib/crawler.js:≈L1080–1200``)."""
+    ROBOTS_SCHEMA = ("host string, disallow array<string>, allow array<string>, "
+                     "crawl_delay double, fetched boolean")
+
+    def _lazy_robots_update(self, cands: DataFrame, rnd: int) -> None:
+        """S3 — lazy per-origin robots.txt, fully distributed: hosts never
+        attempted before (anti-join vs the upserted warehouse ``robots``
+        delta table) have their robots.txt bodies "fetched" (join vs the
+        robots_txt table in-sandbox; HTTP GET on a cluster) and parsed with
+        the shared RFC-9309 parser in one Arrow-batched pass; the parsed
+        rules land as this round's ``robots`` delta. Hosts with no
+        robots.txt row are recorded permissively with ``fetched=false``
+        (→ ``robotstxterror``), so they are never re-attempted. The
+        admission join broadcasts the (host-keyed, rules-only) relation —
+        no driver-side host list or rule cache at any scale.
+        Reference: ``getRobotsTxt``, ``lib/crawler.js:≈L1080–1200``."""
+        from pyspark.sql import Observation
+
         from simplecrawler_spark.functions.robots import parse_robots_txt
 
-        hosts = [r["host"] for r in cands.select("host").distinct().collect()]
-        newh = [h for h in hosts if h and h not in self._robots_seen]
-        if not newh:
-            return
-        self._robots_seen.update(newh)
+        ua = self.cfg.user_agent
+        hosts = cands.select("host").where(F.col("host") != "").distinct()
+        if self.robots is not None:
+            hosts = hosts.join(self.robots.select("host"), "host", "left_anti")
         if self.robots_txt is not None:
-            rows = self.robots_txt.where(F.col("host").isin(newh)).collect()
-            for r in rows:
-                d, a, cd = parse_robots_txt(r["body"], self.cfg.user_agent)
-                self._robots_rules.append((r["host"], d, a, cd))
-                self._bump("robotstxtfetched", 1)
-        if self._robots_rules:
-            self.robots = self.spark.createDataFrame(
-                self._robots_rules,
-                "host string, disallow array<string>, allow array<string>, crawl_delay double",
-            )
+            joined = hosts.join(self.robots_txt, "host", "left")
+        else:
+            joined = hosts.withColumn("body", F.lit(None).cast("string"))
+
+        def parse(batches):
+            for pdf in batches:
+                out = []
+                for host, body in zip(pdf["host"], pdf["body"]):
+                    if body is None:
+                        out.append((host, [], [], None, False))
+                    else:
+                        d, a, cd = parse_robots_txt(body, ua)
+                        out.append((host, d, a, cd, True))
+                yield pd.DataFrame(
+                    out, columns=["host", "disallow", "allow", "crawl_delay", "fetched"])
+
+        obs = Observation(f"robots_r{rnd}")
+        delta = joined.mapInPandas(parse, schema=self.ROBOTS_SCHEMA).observe(
+            obs,
+            F.sum(F.when(F.col("fetched"), 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(~F.col("fetched"), 1).otherwise(0)).alias("err"),
+        )
+        delta.write.mode("overwrite").parquet(self.wh.round_dir("robots", rnd))
+        try:
+            c = obs.get
+            self._bump("robotstxtfetched", int(c["ok"] or 0))
+            self._bump("robotstxterror", int(c["err"] or 0))
+        except Exception:
+            pass
+        self._reload_robots(rnd)
+
+    def _reload_robots(self, rnd: int) -> None:
+        """Swap the admission relation to the union of all robots deltas;
+        persisted because every round's admission broadcast reads it."""
+        paths = self.wh.round_paths("robots", rnd)
+        if not paths:
+            return
+        old = self.robots
+        self.robots = (
+            self.spark.read.option("basePath", self.wh.table_dir("robots"))
+            .parquet(*paths)
+            .select("host", "disallow", "allow", "crawl_delay")
+            .persist()
+        )
+        if old is not None:
+            old.unpersist()
 
     # ---- lifecycle ----
     def seed(self) -> tuple[int, int]:
@@ -307,6 +372,8 @@ class CrawlEngine:
         )
         cands = _with_host_hash(cands)
         n_new, metrics_rows = self._admit_dedupe_assign(cands, 0, 0, None, bounds=(-1, -1))
+        self._bump("crawlstart", 1)  # Appendix B: emitted once by start()
+        metrics_rows = [("crawlstart", 1)] + metrics_rows
         self._write_metrics(0, metrics_rows)
         self.wh.commit(0, {"next_seq": n_new, "watermark": 0, "queued": n_new,
                            "config": cfg.to_json(), "seed_hosts": self.seed_hosts})
@@ -321,6 +388,8 @@ class CrawlEngine:
         m = self.wh.load_manifest(last)
         self.wh.drop_orphans(last)
         self.seed_hosts = m["seed_hosts"]
+        if self.cfg.robots_mode == "lazy":
+            self._reload_robots(last)  # upserted rules are part of the snapshot
         if self.cfg.dedupe_mode == "tiered":
             dd.rebuild_sidecars(self.spark, self.wh.root,
                                 self.wh.round_paths("seen", last),
@@ -337,6 +406,11 @@ class CrawlEngine:
             next_seq, _ = self.seed()
             rnd, watermark, n_left = 0, 0, next_seq
         rnd, next_seq, watermark, n_left = self.run_rounds(rnd, next_seq, watermark, n_left)
+        if n_left == 0:
+            # Appendix B `complete`: frontier drained (fixpoint reached) —
+            # recorded as an extra metrics file in the last committed round
+            self._bump("complete", 1)
+            self._write_metrics(rnd, [("complete", 1)], filename="part-complete.parquet")
         return CrawlResult(self.wh, rnd, next_seq, dict(self.events))
 
     def run_rounds(self, rnd: int, next_seq: int, watermark: int, n_left: int,
@@ -364,7 +438,9 @@ class CrawlEngine:
                     .parquet(*seen_paths) if seen_paths else None
                 )
             remaining = self._remaining(rnd - 1, watermark)
-            if cfg.host_budget <= 0:
+            host_caps = self._host_caps()
+            use_window = cfg.host_budget > 0 or host_caps is not None
+            if not use_window:
                 # FIFO batch = the seq range [W, W+min(B, n_left)): dense seqs
                 # make selection a pure pushed-down filter — no sort, no
                 # TakeOrdered driver merge, no counting job. (Appendix C /
@@ -374,7 +450,8 @@ class CrawlEngine:
                 batch = remaining.where(F.col("seq") <= b_hi).persist()
             else:
                 batch = select_batch(remaining, cfg.budget, cfg.host_budget,
-                                     cfg.hot_host_threshold, cfg.n_salts).persist()
+                                     cfg.hot_host_threshold, cfg.n_salts,
+                                     host_caps=host_caps).persist()
                 bstats = batch.agg(
                     F.count(F.lit(1)).alias("n"), F.min("seq").alias("lo"),
                     F.max("seq").alias("hi"),
@@ -393,11 +470,16 @@ class CrawlEngine:
             event_names = ["fetcherror", "notmodified", "fetchredirect", "fetch404",
                            "fetch410", "fetchdataerror", "downloadprevented", "fetchcomplete"]
             ev_obs = Observation(f"events_r{rnd}")
+            # `discoverycomplete` (Appendix B) fires once per resource that
+            # ran link discovery = downloaded with a supported MIME type
+            disco = F.sum(F.when((F.col("status") == "downloaded")
+                                 & F.col("mime_supported"), 1).otherwise(0))
             outcomes = classify(fetch_batch(batch, self.web, batch_rows=n_batch), cfg,
                                 self.download_conditions).observe(
                 ev_obs,
                 *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
                   for e in event_names],
+                disco.alias("discoverycomplete"),
             ).persist()
             fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
             if self.images is not None:
@@ -414,6 +496,7 @@ class CrawlEngine:
                            .withColumn("payload_ok", F.lit(None).cast("boolean")))
             (fetched.select(*QUEUED_COLS, "round_queued", "status", "event", "status_code",
                             "content_type", "body_size", "image_id", "caption",
+                            "request_latency_ms", "download_time_ms", "request_time_ms",
                             "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched")
              .write.mode("overwrite").parquet(self.wh.round_dir("fetched", rnd)))
             t = self._tick("fetch_write", t)
@@ -422,8 +505,10 @@ class CrawlEngine:
             except Exception:
                 evc = outcomes.groupBy().agg(
                     *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
-                      for e in event_names]).collect()[0].asDict()
-            ev_rows = [(e, int(evc[e])) for e in event_names if evc[e]]
+                      for e in event_names],
+                    disco.alias("discoverycomplete")).collect()[0].asDict()
+            ev_rows = [(e, int(evc[e])) for e in event_names + ["discoverycomplete"]
+                       if evc[e]]
             for name, cnt in ev_rows:
                 self._bump(name, cnt)
             t = self._tick("event_counts", t)
@@ -465,7 +550,7 @@ class CrawlEngine:
             # correctness input: in FIFO mode the batch is the seq-prefix so
             # the bound advances past it for free; with host budgets we
             # refresh it exactly every 8 rounds (one small agg).
-            if cfg.host_budget <= 0:
+            if not use_window:
                 watermark = b_hi + 1 if n_left else next_seq
             elif n_left and rnd % 8 == 0:
                 row = self._remaining(rnd, watermark).agg(F.min("seq").alias("lo")).collect()[0]

@@ -34,8 +34,9 @@ import time
 
 class Warehouse:
     # "seen" holds the unified frontier/url_seen delta (one write serves
-    # both roles — see operators/dedupe.register_new)
-    TABLES = ("fetched", "seen", "metrics")
+    # both roles — see operators/dedupe.register_new); "robots" is the
+    # lazily-upserted per-host rules table (S3, lazy mode only)
+    TABLES = ("fetched", "seen", "metrics", "robots")
 
     def __init__(self, root: str):
         self.root = root

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.functions.canonicalize import canonicalize_one, split_host
 from simplecrawler_spark.functions.links import _clean_raw
+from simplecrawler_spark.functions.mime import guess_mime
 from simplecrawler_spark.functions.robots import robots_allows
 from simplecrawler_spark.operators.admission import eval_condition_py, seed_host_set
 
@@ -41,6 +42,14 @@ class OracleCrawler:
         self.robots = {r["host"]: (list(r["disallow"] or []), list(r["allow"] or []))
                        for r in robots_rows or []}
         self.cfg = cfg
+        # J6 — robots Crawl-delay → per-host per-round cap (same rule as
+        # CrawlEngine._host_caps)
+        self.host_caps: dict[str, int] = {}
+        if cfg.honor_crawl_delay:
+            for r in robots_rows or []:
+                cd = r.get("crawl_delay")
+                if cd is not None:
+                    self.host_caps[r["host"]] = max(1, int(cfg.round_seconds // cd))
         self.fc = fetch_conditions or []
         self.dc = download_conditions or []
         self.queue: list[dict] = []      # items, index == seq
@@ -95,8 +104,16 @@ class OracleCrawler:
             self.events["fetchdisallowed"] += 1
             return
         if self.cfg.max_depth > 0 and depth > self.cfg.max_depth:
-            self.events["depth"] += 1
-            return
+            allow = self.cfg.fetch_whitelisted_mime_below_max_depth
+            mg = guess_mime(url) if allow else None
+            allowed_past = (
+                mg is not None
+                and any(re.search(p, mg) for p in self.cfg.supported_mime_types)
+                and (allow is True or depth <= self.cfg.max_depth + int(allow))
+            )
+            if not allowed_past:
+                self.events["depth"] += 1
+                return
         item = {"url_norm": url, "host": host, "depth": depth, "referrer": referrer}
         if self.fc and not eval_condition_py(item, self.fc):
             self.events["fetchprevented"] += 1
@@ -117,10 +134,12 @@ class OracleCrawler:
         code = row["status_code"]
         if code == 304:
             return "notmodified", "notmodified", row
-        if code in (301, 302) and row.get("redirect_to"):
+        if 300 <= code <= 399 and row.get("redirect_to"):
             return "redirected", "fetchredirect", row
         if code in (404, 410):
             return "notfound", "fetch410" if code == 410 else "fetch404", row
+        if not 200 <= code <= 299:
+            return "failed", "fetcherror", row
         if row["body_size"] is not None and row["body_size"] > self.cfg.max_resource_size:
             return "dataerror", "fetchdataerror", row
         if self.dc and not eval_condition_py({**item, **{k: row[k] for k in
@@ -134,6 +153,7 @@ class OracleCrawler:
         cfg = self.cfg
         seeds = [u for u in (self._canon(s, None) for s in cfg.seeds) if u is not None]
         self.seed_hosts = [split_host(u) for u in seeds]
+        self.events["crawlstart"] += 1
         for u in seeds:
             self._admit(u, 1, None, 0)
         res = OracleResult()
@@ -141,12 +161,14 @@ class OracleCrawler:
         while rnd < cfg.max_rounds:
             rnd += 1
             remaining = [it for it in self.queue if it["status"] == "queued"]
-            if cfg.host_budget > 0:
+            if cfg.host_budget > 0 or self.host_caps:
+                no_cap = 1 << 30
+                hb = cfg.host_budget if cfg.host_budget > 0 else no_cap
                 rank: Counter = Counter()
                 batch = []
                 for it in remaining:  # queue order == seq order
                     rank[it["host"]] += 1
-                    if rank[it["host"]] <= cfg.host_budget:
+                    if rank[it["host"]] <= min(hb, self.host_caps.get(it["host"], no_cap)):
                         batch.append(it)
                 batch = batch[: cfg.budget]
             else:
@@ -165,6 +187,7 @@ class OracleCrawler:
                     if u is not None:
                         candidates.append((it["seq"], 0, u, it["depth"] + 1, it["url_norm"]))
                 elif status == "downloaded" and self._mime_supported(row["content_type"]):
+                    self.events["discoverycomplete"] += 1
                     page_seen: set[str] = set()
                     idx = 0
                     for raw in row["links"] or []:
@@ -180,6 +203,8 @@ class OracleCrawler:
             candidates.sort(key=lambda c: (c[0], c[1]))
             for _, _, url, depth, ref in candidates:
                 self._admit(url, depth, ref, rnd)
+        if not any(it["status"] == "queued" for it in self.queue):
+            self.events["complete"] += 1  # fixpoint reached (frontier drained)
         res.seen = dict(self.seen)
         res.events = self.events
         res.rounds = rnd

@@ -30,6 +30,14 @@ def test_crawler_facade_end_to_end(spark, corpus, tmp_path):
     assert res.rounds >= 1
     assert c.queue_max("actualDataSize") >= c.queue_min("actualDataSize")
     assert c.queue_avg("contentLength") > 0
+    # D2 stateData telemetry: the full queue.js statistics whitelist works
+    # and matches a driver-side recomputation over the fetched log
+    import math
+    fetched = res.fetched_log(spark).select("request_latency_ms").toPandas()
+    assert math.isclose(c.queue_avg("requestLatency"),
+                        float(fetched["request_latency_ms"].mean()), rel_tol=1e-9)
+    assert c.queue_max("requestTime") >= c.queue_max("requestLatency")
+    assert c.queue_min("downloadTime") >= 0.0
     with pytest.raises(InvalidStatisticError):
         c.queue_max("nonsense")
     n404 = c.count_items({"status": "notfound"})
@@ -65,6 +73,51 @@ def test_cookie_parse_match_expiry_header():
 
     jar2 = CookieJar.from_rows(jar.to_rows())
     assert jar2.outbound_header("h.example", "/x") == jar.outbound_header("h.example", "/x")
+
+
+def test_outbound_header_series_matches_scalar():
+    """Vectorized fetch-seam Cookie header ≡ scalar CookieJar.outbound_header
+    on a grid of hosts/paths incl. domain suffixes, path boundaries, expiry."""
+    import pandas as pd
+
+    from simplecrawler_spark.functions.cookies import outbound_header_series
+
+    jar = CookieJar()
+    jar.add_from_headers([
+        "a=1; Path=/", "b=2; Path=/x", "c=3; Domain=example.com; Path=/x/y",
+        "d=4; Domain=sub.example.com", "e=5; Path=/xy",
+        "old=9; Expires=Thu, 01 Jan 1970 00:00:00 GMT",
+    ], "h.example")
+    hosts = ["h.example", "sub.example.com", "deep.sub.example.com",
+             "example.com", "notexample.com", "h.example", "h.example", ""]
+    paths = ["/x", "/x/y", "/x/y/z", "/", "/x", "/xy", "/x2", None]
+    got = outbound_header_series(pd.Series(hosts), pd.Series(paths), jar.cookies)
+    for i, (h, p) in enumerate(zip(hosts, paths)):
+        want = jar.outbound_header(h, p or "/")
+        assert (got.iat[i] or "") == want, (h, p, got.iat[i], want)
+
+
+def test_build_request_headers_join(spark, corpus, tmp_path):
+    """Fetch-seam header construction (getRequestOptions analog): UA constant,
+    Cookie from the jar, If-None-Match from the cache table."""
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.operators.fetch import build_request_headers
+
+    batch = spark.createDataFrame(
+        [(1, "http://host0.example/p/0", "host0.example"),
+         (2, "http://host1.example/x/1", "host1.example")],
+        "url_hash long, url_norm string, host string")
+    cache = spark.createDataFrame(
+        [(1, "etag-1", 0, "ref-1", 0)],
+        "url_hash long, etag string, last_modified long, payload_ref string, round_cached int")
+    jar = CookieJar()
+    jar.add_from_headers("sid=abc; Path=/x", "host1.example")
+    cfg = CrawlConfig(user_agent="ua-test/1.0")
+    out = {r["url_hash"]: r for r in
+           build_request_headers(batch, cfg, jar.to_rows(), cache).collect()}
+    assert out[1]["hdr_user_agent"] == "ua-test/1.0"
+    assert out[1]["hdr_if_none_match"] == "etag-1" and out[2]["hdr_if_none_match"] is None
+    assert out[2]["hdr_cookie"] == "sid=abc" and out[1]["hdr_cookie"] is None
 
 
 def test_cache_delta_shape(spark, corpus, tmp_path):

@@ -77,6 +77,20 @@ def test_parity_default_config(spark, corpus, tmp_path):
     result, oresult = _run_both(spark, d, cfg, tmp_path)
     assert len(oresult.fetched_log) > 20  # crawl actually expanded
     _assert_parity(spark, result, oresult)
+    # the corpus exercises the full 3xx family + non-special 4xx/5xx errors
+    fl = result.fetched_log(spark)
+    redirected_codes = {
+        r["status_code"] for r in
+        fl.where(F.col("status") == "redirected").select("status_code").distinct().collect()
+    }
+    assert redirected_codes - {301, 302}, "expected 303/307/308 redirects in corpus"
+    failed_codes = {
+        r["status_code"] for r in
+        fl.where(F.col("status") == "failed").select("status_code").distinct().collect()
+    }
+    assert {403, 500} & failed_codes, "expected 4xx/5xx fetcherror rows"
+    # /i MIME flag: uppercase content types still ran link discovery
+    assert fl.where(F.col("content_type") == "Text/HTML").count() > 0
 
 
 def test_parity_tiered_dedupe_identical_to_exact(spark, corpus, tmp_path):
@@ -119,6 +133,72 @@ def test_parity_host_budget_politeness(spark, corpus, tmp_path):
     per = (result.fetched_log(spark).groupBy("round_fetched", "host")
            .count().agg(F.max("count")).collect()[0][0])
     assert per <= 5
+
+
+def test_parity_crawl_delay_budget(spark, corpus, tmp_path):
+    """J6 — robots Crawl-delay enforced as a per-host per-round cap:
+    host3 (group 'delay', crawl_delay=0.5, round_seconds=1.0) gets at most
+    max(1, floor(1.0/0.5)) = 2 fetches per round; engine ≡ oracle."""
+    d, p = corpus
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=40,
+                      filter_by_domain=False, honor_crawl_delay=True,
+                      dedupe_mode="exact", max_rounds=500)
+    result, oresult = _run_both(spark, d, cfg, tmp_path)
+    _assert_parity(spark, result, oresult)
+    per = (result.fetched_log(spark).where(F.col("host") == "host3.example")
+           .groupBy("round_fetched").count().agg(F.max("count")).collect()[0][0])
+    assert per is not None and per <= 2  # the knob actually bit
+    # and host3 was not starved: it still got fetched
+    assert result.fetched_log(spark).where(F.col("host") == "host3.example").count() > 2
+
+
+def _mk_web_rows(specs):
+    """specs: list of (url, status, content_type, links). Full WEB_SCHEMA rows."""
+    rows = []
+    for i, (url, code, ct, links) in enumerate(specs):
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        rows.append({
+            "url_id": i, "url_norm": url, "host": host, "status_code": code,
+            "redirect_to": None, "content_type": ct, "links": links,
+            "image_id": None, "caption": None, "robots_group": "open",
+            "body_size": 1000, "request_latency_ms": 10.0,
+            "download_time_ms": 5.0, "request_time_ms": 15.0,
+        })
+    return rows
+
+
+def test_parity_whitelisted_mime_below_max_depth(spark, tmp_path):
+    """P5 allowance (fetchWhitelistedMimeTypesBelowMaxDepth=1): URLs whose
+    extension implies a whitelisted MIME may exceed maxDepth by 1 level;
+    everything else is depth-gated; engine ≡ oracle."""
+    from simplecrawler_spark.corpus import WEB_SCHEMA
+
+    h = "http://host0.example"
+    specs = [
+        (f"{h}/p/0", 200, "text/html", [f"{h}/p/1"]),                      # depth 1
+        (f"{h}/p/1", 200, "text/html",
+         [f"{h}/p/2", f"{h}/img/a.png", f"{h}/c.html"]),                   # depth 2
+        (f"{h}/p/2", 200, "text/html", []),                                # depth 3: gated
+        (f"{h}/img/a.png", 200, "image/png", []),                          # depth 3: allowed
+        (f"{h}/c.html", 200, "text/html", [f"{h}/d.html"]),                # depth 3: allowed
+        (f"{h}/d.html", 200, "text/html", []),                             # depth 4: > max+1
+    ]
+    rows = _mk_web_rows(specs)
+    web = spark.createDataFrame(rows, WEB_SCHEMA)
+    mimes = [r"(?i)^text/", r"(?i)^image/png"]
+    cfg = CrawlConfig(seeds=[f"{h}/p/0"], budget=16, max_depth=2,
+                      fetch_whitelisted_mime_below_max_depth=1,
+                      supported_mime_types=mimes, dedupe_mode="exact",
+                      max_rounds=50, warehouse=str(tmp_path / "wh_p5"))
+    eng = CrawlEngine(spark, cfg, web, robots=None)
+    result = eng.run()
+    oc = OracleCrawler(rows, [], cfg)
+    oresult = oc.run()
+    _assert_parity(spark, result, oresult)
+    fetched = {r["url_norm"] for r in result.fetched_log(spark).collect()}
+    assert f"{h}/img/a.png" in fetched and f"{h}/c.html" in fetched
+    assert f"{h}/p/2" not in fetched and f"{h}/d.html" not in fetched
+    assert oresult.events["depth"] == 2  # /p/2 and /d.html
 
 
 def test_parity_fetch_and_download_conditions(spark, corpus, tmp_path):

@@ -39,6 +39,31 @@ def test_cuckoo_insert_idempotent_for_duplicates():
     assert dd.cuckoo_check(table, h).all()
 
 
+def test_cuckoo_reinsert_does_not_inflate_occupancy():
+    """Task-retry model: the same batch inserted twice must not grow the
+    table (else occupancy creeps and a spurious overflow can fire)."""
+    h = _hashes(500, 11)
+    nb = 256
+    table = np.zeros((nb, 4), dtype=np.uint16)
+    assert dd.cuckoo_add(table, h)
+    occ1 = int((table != 0).sum())
+    assert dd.cuckoo_add(table, h)  # re-run of the identical batch
+    occ2 = int((table != 0).sum())
+    assert occ2 == occ1
+    assert dd.cuckoo_check(table, h).all()
+
+
+def test_cuckoo_near_capacity_survives_retries():
+    """A table sized for ~95% occupancy must accept its keyset repeatedly
+    (the retry scenario that used to overflow)."""
+    nb = 64  # 256 slots
+    keys = _hashes(230, 13)  # ~90% full
+    table = np.zeros((nb, 4), dtype=np.uint16)
+    for _ in range(5):
+        assert dd.cuckoo_add(table, keys)
+    assert dd.cuckoo_check(table, keys).all()
+
+
 def test_sidecar_params_sane():
     bloom_bytes, k, nb = dd.sidecar_params(2_000_000, 32, 10)
     assert bloom_bytes * 8 >= (2_000_000 // 32) * 10

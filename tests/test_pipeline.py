@@ -43,6 +43,41 @@ def test_minhash_finds_planted_near_dup(spark, docs):
     assert (3, 100) in got and (3, 101) in got and (100, 101) in got
 
 
+def test_hot_bucket_cap_prevents_pair_explosion(spark, docs):
+    """A planted degenerate bucket (2,000 identical boilerplate docs) must
+    not explode into O(n²) pairs: the capped path drops the hot bucket
+    (logged) while a planted near-dup pair in a normal bucket survives."""
+    boiler = [(10_000 + i, "lorem ipsum boilerplate footer") for i in range(2000)]
+    extra = spark.createDataFrame(boiler, "doc_id long, text string")
+    both = docs.unionByName(extra)
+    sigs = dedup.minhash_signatures(both, num_perm=32)
+    pairs = dedup.minhash_pairs(sigs, bands=8, max_bucket=100).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert not any(a >= 10_000 and b >= 10_000 for a, b in got), \
+        "boilerplate bucket leaked quadratic pairs"
+    assert (3, 100) in got  # planted exact dup still found
+    assert len(got) < 5_000
+
+    # simhash path: same degenerate set, capped segments
+    fps = dedup.simhash_fingerprints(both)
+    sp = dedup.simhash_pairs(fps, max_hamming=3, max_bucket=100).collect()
+    sgot = {(r["a"], r["b"]) for r in sp}
+    assert not any(a >= 10_000 and b >= 10_000 for a, b in sgot)
+    assert len(sgot) < 5_000
+
+
+def test_embedding_hot_bucket_cap(spark, embeddings):
+    """Degenerate identical vectors collapse into one LSH bucket — capped."""
+    df, _ = embeddings
+    rows = [(20_000 + i, [0.5] * 16) for i in range(500)]
+    extra = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    both = df.unionByName(extra)
+    out = similarity.embedding_near_dupes(both, threshold=0.99, n_bits=6,
+                                          max_bucket=50).collect()
+    got = {(r["a"], r["b"]) for r in out}
+    assert not any(a >= 20_000 and b >= 20_000 for a, b in got)
+
+
 def test_minhash_jaccard_estimate_close_to_exact(spark, docs):
     # signature agreement rate ≈ true Jaccard (property of MinHash)
     sigs = {r["doc_id"]: np.array(r["signature"]) for r in
