@@ -165,8 +165,21 @@ def _lang_id(spark, sf):
 
 
 def _fingerprints(spark, sf):
-    from simplecrawler_spark.pipeline.text import fingerprints
-    return fingerprints(_t(spark, sf, "documents"))
+    # md5-based 60-bit fingerprint: exactly DuckDB-checkable (the rolling-hash
+    # variant pipeline.text.fingerprints stays pytest-pinned — mod-2^64
+    # polynomial arithmetic is not ANSI-SQL-expressible)
+    from simplecrawler_spark.pipeline.dedup import fingerprint_md5
+    return fingerprint_md5(_t(spark, sf, "documents"))
+
+
+def _ngram_jaccard(spark, sf):
+    from simplecrawler_spark.pipeline.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
+def _simhash_md5_near_dup(spark, sf):
+    from simplecrawler_spark.pipeline.dedup import simhash_md5_pairs
+    return simhash_md5_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
 def _ann_cosine_topk(spark, sf):
@@ -216,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_domain_filter": _p1_domain_filter,
         "p5_depth_gate": _p5_depth_gate,
         "dedup_exact": _dedup_exact,
+        "ngram_jaccard": _ngram_jaccard,
+        "simhash_md5_near_dup": _simhash_md5_near_dup,
         "text_tokens": _text_tokens,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
@@ -292,6 +307,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,"
             " COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"
         ),
+        "fingerprints": (
+            "SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),"
+            " i -> CAST(strpos('0123456789abcdef',"
+            "   substr(md5(lower(coalesce(text, ''))), CAST(i AS INT), 1)) - 1 AS BIGINT)"
+            "  * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT) AS fp64"
+            " FROM documents"
+        ),
+        "ngram_jaccard": (
+            "WITH raw AS ("
+            " SELECT doc_id, unnest(list_transform("
+            "  range(1, greatest(length(lower(coalesce(text, ''))) - 4, 1) + 1),"
+            "  i -> substr(lower(coalesce(text, '')), CAST(i AS INT), 5))) AS gg"
+            " FROM documents),"
+            " grams AS (SELECT DISTINCT doc_id, gg FROM raw),"
+            " keep AS (SELECT gg FROM grams GROUP BY gg HAVING count(*) <= 10000),"
+            " bl AS (SELECT doc_id, gg FROM grams WHERE gg IN (SELECT gg FROM keep)),"
+            " cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+            " inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i"
+            "  FROM bl x JOIN bl y ON x.gg = y.gg AND x.doc_id < y.doc_id GROUP BY 1, 2)"
+            " SELECT a, b, ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard"
+            " FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b"
+            " WHERE ROUND(i * 1.0 / (ca.n + cb.n - i), 6) >= 0.3"
+        ),
+        "simhash_md5_near_dup": (
+            # brute-force O(n²) oracle over the same md5-gram simhash bits;
+            # the Spark side's 4x16-bit pigeonhole blocking is LOSSLESS for
+            # hamming <= 3, so the outputs must match exactly
+            "WITH raw AS ("
+            " SELECT doc_id, unnest(list_distinct(list_transform("
+            "  range(1, greatest(length(lower(coalesce(text, ''))) - 4, 1) + 1),"
+            "  i -> substr(lower(coalesce(text, '')), CAST(i AS INT), 5)))) AS gr"
+            " FROM documents),"
+            " hx AS (SELECT doc_id, md5(gr) AS h FROM raw),"
+            " votes AS (SELECT doc_id, j,"
+            "  SUM((2 * ((CAST(strpos('0123456789abcdef',"
+            "    substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1 AS INT)"
+            "    >> CAST(3 - (j % 4) AS INT)) & 1)) - 1) AS v"
+            "  FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits"
+            "  GROUP BY doc_id, j),"
+            " sh AS (SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY j)"
+            "   AS bits FROM votes GROUP BY doc_id)"
+            " SELECT a, b, hamming FROM ("
+            "  SELECT x.doc_id AS a, y.doc_id AS b,"
+            "   CAST(list_sum(list_transform(range(1, 65),"
+            "    k -> abs(x.bits[CAST(k AS INT)] - y.bits[CAST(k AS INT)]))) AS INT)"
+            "   AS hamming"
+            "  FROM sh x JOIN sh y ON x.doc_id < y.doc_id) p"
+            " WHERE hamming <= 3"
+        ),
         "text_tokens": (
             "SELECT doc_id,"
             " CAST(CASE WHEN trim(text) = '' THEN 0"
@@ -323,9 +387,11 @@ def oracle_sql() -> dict[str, str]:
             f" len(regexp_extract_all(lower(text), '{_STOP_DE}')) AS de,"
             f" len(regexp_extract_all(lower(text), '{_STOP_FR}')) AS fr FROM documents) t"
         ),
-        # fingerprints / minhash / simhash / LSH-ANN / embed_near_dup:
-        # intentionally omitted — not ANSI-SQL-expressible; rows-only check
-        # here, exactness covered by tests/test_pipeline.py.
+        # minhash_near_dup / ann_lsh_topk / embed_near_dup: intentionally
+        # omitted — banding / hyperplane-bucket recall is probabilistic, so
+        # no SQL oracle can match them exactly; rows-only check here,
+        # exactness/recall covered by tests/test_pipeline.py. (simhash IS
+        # oracled via simhash_md5_near_dup: pigeonhole blocking is lossless.)
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
             " SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS cosine"

@@ -61,6 +61,10 @@ def main() -> None:
     # hold it constant across parallelism levels so the scaling comparison
     # varies cores only (32 partitions = 4 waves at 8 cores, 1 wave at 32).
     extra_conf = {"spark.sql.adaptive.enabled": "false"} if args.no_aqe else {}
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:  # stage-level profiling: parse the JSON event log afterwards
+        os.makedirs(ev_dir, exist_ok=True)
+        extra_conf.update({"spark.eventLog.enabled": "true", "spark.eventLog.dir": ev_dir})
     spark = get_spark(app=f"crawl-bench-{args.cores}", master=f"local[{args.cores}]",
                       shuffle_partitions=32, extra=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")

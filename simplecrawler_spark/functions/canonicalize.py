@@ -44,6 +44,12 @@ _FAST_RE = re.compile(
 # + path with no normalization needed. The majority of real in-site links.
 _FAST_ABSPATH_RE = re.compile(r"^/(?!/)(?:[A-Za-z0-9/_\-,;=&]|\.(?!\.?/|\.?$))*$")
 _ORIGIN_RE = re.compile(r"^(https?://[a-z0-9][a-z0-9.\-]*)(?::(\d+))?(?=/|$)")
+# Plain relative-path reference: no scheme/netloc/query/fragment/percent —
+# RFC 3986 §5.3 merge reduces to basedir + ref (dot segments handled after).
+# "//" inside a relative ref is excluded: urljoin (the slow-path authority)
+# collapses empty segments there. ";" is excluded too: urlparse's legacy
+# params-splitting can empty the path ("a/;") and change resolution.
+_REL_PATH_RE = re.compile(r"^(?!/)(?:[A-Za-z0-9_\-,=&.]|/(?!/))+$")
 
 
 def _pct_normalize(s: str) -> str:
@@ -148,26 +154,66 @@ def canonicalize_series(
     Python normalizer. Absolute-URL detection means ``base`` is only
     consulted on the slow path.
     """
-    raw = raw.astype("object")
+    raw = raw.reset_index(drop=True).astype("object")
+    if base is not None:
+        base = base.reset_index(drop=True)
     n = len(raw)
     out = np.empty(n, dtype=object)
     notnull = raw.notna().to_numpy()
     fast = np.zeros(n, dtype=bool)
     if not strip_www_domain:
-        fast_candidates = raw.fillna("")
-        fast = fast_candidates.str.match(_FAST_RE).to_numpy() & notnull
-        out[fast] = raw[fast].to_numpy()
-        # fast path 2: "/abs/path" against a canonical base → origin + path
-        # (pure pandas string ops; the referrer is always already canonical
-        # inside the engine, so origin needs no re-normalization)
+        fc = raw.fillna("")
+        # step 0 — vectorized fragment strip: a canonical URL never keeps its
+        # fragment, so dropping it up front is semantics-preserving and lets
+        # "…#frag" links take the fast paths ("" residue falls to slow:
+        # an all-fragment ref resolves to the base, which needs the full rule)
+        if fc.str.contains("#", regex=False).any():
+            fc = fc.str.replace(r"#.*$", "", regex=True)
+        fast = fc.str.match(_FAST_RE).to_numpy() & notnull
+        out[fast] = fc[fast].to_numpy()
         if base is not None:
-            rel = fast_candidates.str.match(_FAST_ABSPATH_RE).to_numpy() & notnull & ~fast
-            if rel.any():
-                origins = base.fillna("").str.extract(r"^(https?://[^/]+)", expand=False)
-                ok = rel & origins.notna().to_numpy()
-                if ok.any():
-                    out[ok] = (origins[ok] + raw[ok]).to_numpy()
-                    fast = fast | ok
+            bstr = base.fillna("")
+            origins = bstr.str.extract(r"^(https?://[^/]+)", expand=False)
+            has_origin = origins.notna().to_numpy()
+            # fast path 2: "/abs/path" against a canonical base → origin +
+            # path (the referrer is always already canonical in-engine)
+            rel = fc.str.match(_FAST_ABSPATH_RE).to_numpy() & notnull & ~fast
+            ok = rel & has_origin
+            if ok.any():
+                out[ok] = (origins[ok] + fc[ok]).to_numpy()
+                fast = fast | ok
+            # fast path 3: protocol-relative "//host/path" + base scheme
+            pr = fc.str.startswith("//").to_numpy() & notnull & ~fast & has_origin
+            if pr.any():
+                scheme = bstr.str.extract(r"^(https?)://", expand=False)
+                cand = scheme[pr].fillna("") + ":" + fc[pr]
+                okc = cand.str.match(_FAST_RE).to_numpy()
+                idx = np.flatnonzero(pr)[okc]
+                out[idx] = cand[okc].to_numpy()
+                fast[idx] = True
+            # fast path 4: plain relative path ("b/c", "../c", "./c") against
+            # a canonical, query-less base — RFC 3986 §5.3 merge is a string
+            # concat; dot segments (the only Python residue) are removed with
+            # the exact shared _remove_dot_segments on the dotted subset only
+            relm = (fc.str.match(_REL_PATH_RE).to_numpy() & notnull & ~fast
+                    & has_origin
+                    & bstr.str.match(r"^https?://[^/?#]+/").to_numpy()
+                    & ~bstr.str.contains("?", regex=False).to_numpy())
+            if relm.any():
+                basedir = bstr[relm].str.replace(r"[^/]*$", "", regex=True)
+                res_s = basedir + fc[relm]
+                ridx = np.flatnonzero(relm)
+                # basedir always ends "/", so dot segments can only appear as
+                # a "/." substring — the dotted residue walks the exact shared
+                # _remove_dot_segments; everything else is the concat itself
+                dotted = res_s.str.contains("/.", regex=False).to_numpy()
+                out[ridx[~dotted]] = res_s.to_numpy()[~dotted]
+                resolved = res_s.to_numpy()
+                for k in np.flatnonzero(dotted):
+                    r = resolved[k]
+                    o_end = r.index("/", r.index("://") + 3)
+                    out[ridx[k]] = r[:o_end] + _remove_dot_segments(r[o_end:])
+                fast[ridx] = True
     slow_idx = np.flatnonzero(notnull & ~fast)
     if len(slow_idx):
         rawv = raw.to_numpy()

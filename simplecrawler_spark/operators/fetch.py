@@ -40,9 +40,11 @@ def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None)
     time), otherwise let AQE pick a shuffled join from runtime stats.
     Misses (URL not in "the internet") surface with ``found=false`` → status
     ``failed`` (reference ``fetcherror``)."""
-    # a frontier batch row is ~100 B; up to ~1M rows (~100 MB) broadcasting
-    # beats a 3-way shuffle of the (much wider) corpus scan
-    b = F.broadcast(batch) if (batch_rows is None or batch_rows <= 1_000_000) else batch
+    # broadcast only genuinely small batches: the broadcast build is a
+    # driver-side collect + re-serialize — pure SERIAL time per round, the
+    # enemy of the N→4N efficiency gate. Above ~100k rows a shuffled join
+    # costs more total work but all of it scales with executors.
+    b = F.broadcast(batch) if (batch_rows is None or batch_rows <= 100_000) else batch
     # telemetry columns are optional on the web table (older corpora /
     # hand-built fixtures): absent ones surface as nulls
     wsel = [F.col(c) if c in web.columns else F.lit(None).cast("double").alias(c)

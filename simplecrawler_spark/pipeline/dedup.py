@@ -169,6 +169,101 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float = 0.7,
     return out.where(F.col("jaccard") >= threshold)
 
 
+def _grams_sql(text_col: str, n: int) -> str:
+    """Distinct lowercase char n-grams as a Spark-SQL expression (built-ins
+    only). Mirrors the DuckDB oracle's list_transform(range(...)) exactly:
+    sequence(1, max(len-n+1, 1)) inclusive ≡ range(1, max(len-n+1,1)+1)."""
+    t = f"lower(coalesce({text_col}, ''))"
+    return (f"array_distinct(transform(sequence(1, greatest(length({t}) - {n - 1}, 1)), "
+            f"i -> substring({t}, cast(i as int), {n})))")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_doc_freq: int = 10_000) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingle —
+    the SQL-expressible dedupe path (and the exactness baseline for the
+    MinHash estimate): explode distinct grams, self-equi-join on the gram,
+    |A∩B| = per-pair match count, |A∪B| = |A|+|B|-|A∩B|. Never a cross
+    join: only docs sharing a gram ever meet.
+
+    Grams occurring in more than ``max_doc_freq`` docs are stopword-like
+    boilerplate that contributes O(df²) join rows — excluded from BLOCKING
+    (both here and in the DuckDB oracle via the same HAVING), which can only
+    lose pairs whose every shared gram is boilerplate."""
+    grams = docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.expr(_grams_sql(text_col, n))).alias("g"))
+    counts = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    blocked = grams.join(
+        grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_doc_freq).select("g"),
+        "g", "left_anti")
+    a = blocked.select(F.col("_id").alias("a"), "g")
+    b = blocked.select(F.col("_id").alias("b"), "g")
+    inter = (a.join(b, "g").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
+    out = (
+        inter.join(counts.select(F.col("_id").alias("a"), F.col("n_grams").alias("na")), "a")
+        .join(counts.select(F.col("_id").alias("b"), F.col("n_grams").alias("nb")), "b")
+        .select("a", "b",
+                F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+                .alias("jaccard"))
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def fingerprint_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit whole-document fingerprint from md5(lower(text)) — the
+    oracle-checkable twin of the rolling-hash fingerprint (md5 hex agrees
+    byte-for-byte between Spark and DuckDB; 15 hex digits keep the value
+    inside a signed 64-bit int)."""
+    fp = F.expr(
+        f"cast(conv(substring(md5(lower(coalesce({text_col}, ''))), 1, 15), 16, 10) as bigint)")
+    return docs.select(F.col(id_col), fp.alias("fp64"))
+
+
+def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                shingle: int = 5) -> DataFrame:
+    """SimHash over md5 gram hashes — PURE Spark built-ins (no UDF, stays in
+    whole-stage codegen) and bit-for-bit reproducible in ANSI-ish SQL, so the
+    DuckDB oracle can verify the full pipeline. Bit j of gram g = bit
+    (3 - j%4) of hex digit j//4 of md5(g); simhash bit j = 1 iff the ±1 votes
+    over distinct grams sum positive. Returns (doc_id, bits array<int>,
+    posexploded 16-bit segment values for pigeonhole blocking)."""
+    gbits = ("transform(sequence(0, 63), j -> "
+             "2 * (shiftright(cast(conv(substring(hx, cast(j div 4 as int) + 1, 1), 16, 10) "
+             "as int), 3 - cast(j % 4 as int)) & 1) - 1)")
+    votes = (f"aggregate(transform({_grams_sql(text_col, shingle)}, gr -> md5(gr)), "
+             f"array_repeat(0, 64), (acc, hx) -> zip_with(acc, {gbits}, (x, y) -> x + y))")
+    bits = f"transform({votes}, v -> case when v > 0 then 1 else 0 end)"
+    segs = ("transform(sequence(0, 3), s -> aggregate(sequence(0, 15), 0L, "
+            "(acc, k) -> acc + cast(element_at(bits, cast(s * 16 + k as int) + 1) as bigint) "
+            "* cast(pow(2, k) as bigint)))")
+    return (docs.select(F.col(id_col), F.expr(bits).alias("bits"))
+            .select(id_col, "bits", F.expr(segs).alias("segs")))
+
+
+def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3, shingle: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int = 4096) -> DataFrame:
+    """Near-dup pairs from :func:`simhash_md5` via the same 4×16-bit
+    pigeonhole blocking as :func:`simhash_pairs`. For hamming ≤ 3 the
+    pigeonhole guarantee makes blocking LOSSLESS (≥1 segment must be equal),
+    so this equals the brute-force O(n²) scan the DuckDB oracle runs —
+    an exactly-verifiable LSH path."""
+    fps = simhash_md5(docs, text_col, id_col, shingle)
+    seg = fps.select(
+        F.col(id_col).alias("doc_id"), "bits",
+        F.posexplode("segs").alias("seg_id", "seg_val"))
+    seg = drop_hot_buckets(seg, ["seg_id", "seg_val"], max_bucket, "simhash_md5_pairs")
+    a = seg.select(F.col("doc_id").alias("a"), F.col("bits").alias("ba"), "seg_id", "seg_val")
+    b = seg.select(F.col("doc_id").alias("b"), F.col("bits").alias("bb"), "seg_id", "seg_val")
+    cand = a.join(b, ["seg_id", "seg_val"]).where(F.col("a") < F.col("b"))
+    ham = F.expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)")
+    return (cand.select("a", "b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming).distinct())
+
+
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          shingle: int = 4) -> DataFrame:
     """64-bit SimHash: sign of per-bit weighted sums of shingle hashes."""

@@ -40,6 +40,13 @@ from simplecrawler_spark.storage.snapshots import Warehouse
 
 QUEUED_COLS = ["seq", "url_norm", "url_hash", "host", "depth", "referrer", "parent_seq"]
 
+# explicit reader schemas: schema inference costs one small Spark job per
+# spark.read.parquet call — a few of those per round is pure serial latency
+# (the efficiency gate's enemy); the engine knows its own table shapes
+SEEN_SCHEMA = ("seq long, url_norm string, url_hash long, host string, depth int, "
+               "referrer string, parent_seq long, round_queued int, round int, bucket int")
+FETCHED_SEQ_SCHEMA = "seq long, round int"
+
 _HOST_RE = r"^[a-z]+://([^/]+)"
 
 
@@ -166,8 +173,77 @@ class CrawlEngine:
         pq.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(d, filename))
 
+    # discovery inputs that ride through the writer but are not persisted
+    _WRITER_DROP = ("links", "redirect_to", "mime_supported")
+
+    def _fetched_writer(self, rnd: int):
+        """Pass-through Arrow writer for the fetched delta: each partition
+        writes its batches to one parquet file (tmp + atomic rename →
+        idempotent under task retry) and yields them unchanged, so the write
+        is a side effect of the round's single job instead of its own action.
+        Closure captures only plain locals — never ``self``."""
+        out_dir = self.wh.round_dir("fetched", rnd)
+        os.makedirs(out_dir, exist_ok=True)
+        drop = self._WRITER_DROP
+
+        def write_stream(batches):
+            import uuid
+
+            import pyarrow.parquet as pq
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            writer = None
+            done = False
+            try:
+                for b in batches:
+                    keep = [n for n in b.schema.names if n not in drop]
+                    wb = b.select(keep)
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, wb.schema)
+                    writer.write_batch(wb)
+                    yield b
+                done = True
+            finally:
+                if writer is not None:
+                    writer.close()
+                    if done:
+                        os.replace(tmp, path)
+                    else:
+                        # early generator close (task retry/kill): never
+                        # promote a partial file — a zombie attempt's late
+                        # rename must not clobber the retry's complete one
+                        try:
+                            os.remove(tmp)
+                        except OSError:
+                            pass
+
+        return write_stream
+
+    def _ensure_fetched_complete(self, rnd: int, expected: int,
+                                 fetched_sel: DataFrame) -> None:
+        """Safety net for the side-effect fetched write: parquet footers are
+        summed driver-side (metadata only, no scan); on any shortfall the
+        delta is rewritten once with a plain Spark write (rare — logged)."""
+        import logging
+
+        import pyarrow.parquet as pq
+
+        d = self.wh.round_dir("fetched", rnd)
+        files = [os.path.join(d, f) for f in os.listdir(d)
+                 if f.endswith(".parquet") and not f.startswith(".")]
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if total != expected:
+            logging.getLogger(__name__).warning(
+                "fetched delta round=%d has %d rows, expected %d — rewriting",
+                rnd, total, expected)
+            (fetched_sel.drop(*self._WRITER_DROP)
+             .write.mode("overwrite").parquet(d))
+
     def _remaining(self, upto_round: int, watermark: int) -> DataFrame:
-        queued = self.spark.read.option(
+        queued = self.spark.read.schema(SEEN_SCHEMA).option(
             "basePath", self.wh.table_dir("seen")
         ).parquet(*self.wh.round_paths("seen", upto_round)).where(
             F.col("seq") >= watermark
@@ -182,7 +258,8 @@ class CrawlEngine:
         if not fpaths:
             return queued
         fetched = (
-            self.spark.read.option("basePath", self.wh.table_dir("fetched"))
+            self.spark.read.schema(FETCHED_SEQ_SCHEMA)  # column-pruned at read
+            .option("basePath", self.wh.table_dir("fetched"))
             .parquet(*fpaths)
             .where(F.col("seq") >= watermark)
             .select("seq")
@@ -202,7 +279,12 @@ class CrawlEngine:
 
         cfg = self.cfg
         t = _t.time()
-        if cfg.robots_mode == "lazy" and cfg.respect_robots_txt:
+        lazy = cfg.robots_mode == "lazy" and cfg.respect_robots_txt
+        if lazy:
+            # the robots upsert is its own job over cands; persist so the
+            # candidate pipeline (incl. the fetched side-effect writer
+            # upstream) is not executed twice in one round
+            cands = cands.persist()
             self._lazy_robots_update(cands, rnd)
         gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions)
         # admission counters ride along with the first downstream action —
@@ -277,6 +359,8 @@ class CrawlEngine:
         for name, cnt in metrics_rows:
             self._bump(name, cnt)
         new.unpersist()
+        if lazy:
+            cands.unpersist()
         return n_new, metrics_rows
 
     ROBOTS_SCHEMA = ("host string, disallow array<string>, allow array<string>, "
@@ -342,7 +426,8 @@ class CrawlEngine:
             return
         old = self.robots
         self.robots = (
-            self.spark.read.option("basePath", self.wh.table_dir("robots"))
+            self.spark.read.schema(self.ROBOTS_SCHEMA + ", round int")
+            .option("basePath", self.wh.table_dir("robots"))
             .parquet(*paths)
             .select("host", "disallow", "allow", "crawl_delay")
             .persist()
@@ -434,7 +519,8 @@ class CrawlEngine:
             if cfg.dedupe_mode == "exact":
                 seen_paths = self.wh.round_paths("seen", rnd - 1)
                 seen_df_exact = (
-                    self.spark.read.option("basePath", self.wh.table_dir("seen"))
+                    self.spark.read.schema(SEEN_SCHEMA)
+                    .option("basePath", self.wh.table_dir("seen"))
                     .parquet(*seen_paths) if seen_paths else None
                 )
             remaining = self._remaining(rnd - 1, watermark)
@@ -480,9 +566,13 @@ class CrawlEngine:
                 *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
                   for e in event_names],
                 disco.alias("discoverycomplete"),
-            ).persist()
+            )
             fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
             if self.images is not None:
+                # the payload-verify broadcast subtree re-reads outcomes —
+                # persist so the fetch join isn't computed twice
+                outcomes = outcomes.persist()
+                fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
                 pay = verify_payloads(
                     outcomes.where(F.col("status") == "downloaded"),
                     self.images, self.corpus_params,
@@ -494,14 +584,60 @@ class CrawlEngine:
                            .withColumn("phash_decoded", F.lit(None).cast("long"))
                            .withColumn("psnr", F.lit(None).cast("double"))
                            .withColumn("payload_ok", F.lit(None).cast("boolean")))
-            (fetched.select(*QUEUED_COLS, "round_queued", "status", "event", "status_code",
-                            "content_type", "body_size", "image_id", "caption",
-                            "request_latency_ms", "download_time_ms", "request_time_ms",
-                            "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched")
-             .write.mode("overwrite").parquet(self.wh.round_dir("fetched", rnd)))
-            t = self._tick("fetch_write", t)
+            fetched_sel = fetched.select(
+                *QUEUED_COLS, "round_queued", "status", "event", "status_code",
+                "content_type", "body_size", "image_id", "caption",
+                "request_latency_ms", "download_time_ms", "request_time_ms",
+                "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched",
+                # discovery inputs ride along and are dropped by the writer
+                "links", "redirect_to", "mime_supported")
+            # the fetched delta is written as a SIDE EFFECT of the round's one
+            # big job (pass-through mapInArrow, atomic per-partition files):
+            # a dedicated .write action would add a whole extra job's plan +
+            # schedule + scan latency per round — pure serial time (the
+            # north_rule efficiency gate's enemy). Arrow (not pandas) so
+            # 64-bit hashes survive nullable columns losslessly.
+            stream = fetched_sel.mapInArrow(
+                self._fetched_writer(rnd), schema=fetched_sel.schema)
+
+            # --- discovery (F2/F3) + redirect re-entry (J5), one pass ---
+            # pages explode their cleaned links (link_idx 1..n); redirects
+            # contribute their target as link_idx 0 (A.3: depth + 1 for both)
+            is_page = (F.col("status") == "downloaded") & F.col("mime_supported")
+            is_redir = F.col("status") == "redirected"
+            links_arr = (
+                F.when(is_page, clean(F.col("links"), F.col("url_norm")))
+                .when(is_redir, clean(F.array("redirect_to"), F.col("url_norm")))
+                .otherwise(F.array().cast("array<string>"))
+            )
+            cands = (
+                stream.withColumn("_redir", is_redir)
+                .select(F.col("seq").alias("parent_seq"),
+                        F.col("url_norm").alias("referrer"),
+                        F.col("depth").alias("parent_depth"), "_redir",
+                        F.posexplode(links_arr).alias("pos", "url_norm"))
+                .select(
+                    "parent_seq",
+                    F.when(F.col("_redir"), 0).otherwise(F.col("pos") + 1)
+                    .cast("int").alias("link_idx"),
+                    "url_norm",
+                    (F.col("parent_depth") + 1).cast("int").alias("depth"),
+                    "referrer")
+                .where(F.col("url_norm").isNotNull())
+            )
+            cands = _with_host_hash(cands)
+
+            n_new, metrics_rows = self._admit_dedupe_assign(
+                cands, rnd, next_seq, seen_df_exact, bounds=(b_lo, b_hi))
+            # the fetched writer ran inside the same job; verify completeness
+            # from parquet footers (driver-side, ~ms) — a task killed after
+            # its file landed but re-run from cache could otherwise leave a
+            # short delta — and mark the delta done
+            self._ensure_fetched_complete(rnd, n_batch, fetched_sel)
+            open(os.path.join(self.wh.round_dir("fetched", rnd), "_SUCCESS"), "w").close()
+            t = self._tick("admit_dedupe_assign", t)
             try:
-                evc = ev_obs.get  # filled by the fetched-delta write; no extra job
+                evc = ev_obs.get  # filled by the round's job; no extra action
             except Exception:
                 evc = outcomes.groupBy().agg(
                     *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
@@ -512,34 +648,6 @@ class CrawlEngine:
             for name, cnt in ev_rows:
                 self._bump(name, cnt)
             t = self._tick("event_counts", t)
-
-            # --- discovery (F2/F3) + redirect re-entry (J5) ---
-            pages = (
-                outcomes.where((F.col("status") == "downloaded") & F.col("mime_supported"))
-                .select(F.col("seq").alias("parent_seq"), F.col("url_norm").alias("referrer"),
-                        F.col("depth").alias("parent_depth"),
-                        clean(F.col("links"), F.col("url_norm")).alias("clean_links"))
-            )
-            page_cands = pages.select(
-                "parent_seq", "referrer", "parent_depth",
-                F.posexplode("clean_links").alias("pos", "url_norm"),
-            ).select(
-                "parent_seq", (F.col("pos") + 1).cast("int").alias("link_idx"),
-                "url_norm", (F.col("parent_depth") + 1).cast("int").alias("depth"), "referrer",
-            )
-            redir_cands = (
-                outcomes.where(F.col("status") == "redirected")
-                .select(F.col("seq").alias("parent_seq"), F.lit(0).cast("int").alias("link_idx"),
-                        canon(F.col("redirect_to"), F.col("url_norm")).alias("url_norm"),
-                        (F.col("depth") + 1).cast("int").alias("depth"),
-                        F.col("url_norm").alias("referrer"))
-                .where(F.col("url_norm").isNotNull())
-            )
-            cands = _with_host_hash(page_cands.unionByName(redir_cands))
-
-            n_new, metrics_rows = self._admit_dedupe_assign(
-                cands, rnd, next_seq, seen_df_exact, bounds=(b_lo, b_hi))
-            t = self._tick("admit_dedupe_assign", t)
             next_seq += n_new
             n_left = n_left - n_batch + n_new
             metrics_rows = ev_rows + metrics_rows

@@ -59,15 +59,48 @@ def test_series_fast_and_slow_paths_agree():
     raws = [c[0] for c in CASES] + [
         "http://fast.example/p/1", "http://fast.example/p/2/x",
         "/p/5", "/", "/a//b", "//other.example/p/2", "/p/./6", "/p/x?q=1",
+        # vectorized fast-path shapes (fragment strip, protocol-relative,
+        # plain relative with/without dot segments)
+        "http://fast.example/p/3#frag", "/p/7#x", "//other.example/p/9#y",
+        "b/c", "../c", "./c", "../../c", "..", ".", "p/..", "b//c",
+        "../p/./5#frag2", "x.html", "a/.hidden/b",
+        "rel/with?query", "", "   ", "//UPPER.example/p/1",
     ]
     bases = [c[1] for c in CASES] + [
         None, None,
         "http://h.example/x/y", "http://h.example/x", "http://h.example/",
         "https://h.example/q", "http://h.example/x", "http://h.example/x",
+        None, "http://h.example/x", "https://h.example/q/r",
+        "http://h.example/a/b", "http://h.example/a/b/", "http://h.example/a/b",
+        "http://h.example/a/", "http://h.example/a/b/c", "http://h.example/a/b",
+        "http://h.example/a/", "http://h.example/a/b",
+        "http://h.example/p/3", "http://h.example/a/", "http://h.example/",
+        "http://h.example/a?q=/z", "http://h.example/a", "http://h.example/a",
+        "http://h.example/x",
     ]
     got = canonicalize_series(pd.Series(raws, dtype=object), pd.Series(bases, dtype=object))
     want = [canonicalize_one(r, b) for r, b in zip(raws, bases)]
     assert list(got) == want
+
+
+def test_hypothesis_series_equals_scalar_relative_refs():
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    bases = st.sampled_from([
+        "http://h.example/", "http://h.example/a/b", "http://h.example/a/b/",
+        "https://h.example/x/y/z", "http://h.example/a?q=1", None,
+    ])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abZ09./_-,;=&#?%:~ ", max_size=24), bases)
+    def prop(ref, base):
+        got = canonicalize_series(pd.Series([ref], dtype=object),
+                                  pd.Series([base], dtype=object))
+        want = canonicalize_one(ref, base)
+        assert got.iat[0] == want, (ref, base, got.iat[0], want)
+
+    prop()
 
 
 def test_split_host():
