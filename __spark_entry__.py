@@ -5,9 +5,12 @@ driver's relational testdata, plus the training-data pipeline operators
 (dedup / similarity / text analysis) over ``documents``/``embeddings``.
 ``oracle_sql()`` gives the DuckDB twin for every SQL-expressible entry —
 same column names, same rounding, deterministic ordering — so the driver's
-row-count + schema + value-hash comparison is exact. Non-SQL-expressible ops
-(MinHash/SimHash signatures, LSH ANN, fingerprints) are rows-only here and
-exactness-tested in pytest instead (tests/test_pipeline.py).
+row-count + schema + value-hash comparison is exact. Only two entries are
+rows-only (ann_lsh_topk, simhash_near_dup): their hash families
+(seeded-Gaussian hyperplanes, xxhash-family shingle hashes) have no ANSI-SQL
+twin; each is exactness/recall-tested in pytest instead
+(tests/test_pipeline.py), and each has a fully-oracled sibling here covering
+the same algorithm with an SQL-expressible hash family.
 
 The crawl engine itself (frontier/BSP loop) runs on its own generated corpus
 — covered by tests/test_crawl_parity.py and bench.py, not by these oracles.
@@ -198,10 +201,12 @@ def _ann_lsh_topk(spark, sf):
 
 
 def _minhash_near_dup(spark, sf):
-    from simplecrawler_spark.pipeline.dedup import minhash_signatures, minhash_pairs, jaccard_verify
-    docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, num_perm=64)
-    return jaccard_verify(minhash_pairs(sigs, bands=16), docs, threshold=0.5)
+    # one-permutation-hashing variant (md5 gram hashes, pure built-ins):
+    # exactly DuckDB-oracled. The seeded-numpy k-permutation banded variant
+    # (minhash_signatures→minhash_pairs→jaccard_verify) stays pytest-pinned
+    # (tests/test_pipeline.py) — its xxhash-family gram hash has no SQL twin.
+    from simplecrawler_spark.pipeline.dedup import minhash_oph_pairs
+    return minhash_oph_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
 def _simhash_near_dup(spark, sf):
@@ -210,8 +215,11 @@ def _simhash_near_dup(spark, sf):
 
 
 def _embed_near_dup(spark, sf):
-    from simplecrawler_spark.pipeline.similarity import embedding_near_dupes
-    return embedding_near_dupes(_t(spark, sf, "embeddings"), threshold=0.98, n_bits=10)
+    # axis-aligned sign-LSH variant: deterministic bucket key ⇒ exactly
+    # DuckDB-oracled. The Gaussian-hyperplane variant (embedding_near_dupes)
+    # stays pytest-pinned — seeded-numpy hyperplanes have no SQL twin.
+    from simplecrawler_spark.pipeline.similarity import axis_sign_near_dupes
+    return axis_sign_near_dupes(_t(spark, sf, "embeddings"), threshold=0.98, n_bits=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -387,11 +395,66 @@ def oracle_sql() -> dict[str, str]:
             f" len(regexp_extract_all(lower(text), '{_STOP_DE}')) AS de,"
             f" len(regexp_extract_all(lower(text), '{_STOP_FR}')) AS fr FROM documents) t"
         ),
-        # minhash_near_dup / ann_lsh_topk / embed_near_dup: intentionally
-        # omitted — banding / hyperplane-bucket recall is probabilistic, so
-        # no SQL oracle can match them exactly; rows-only check here,
-        # exactness/recall covered by tests/test_pipeline.py. (simhash IS
-        # oracled via simhash_md5_near_dup: pigeonhole blocking is lossless.)
+        "minhash_near_dup": (
+            # one-permutation hashing (OPH): one md5-low-60-bit hash per
+            # distinct 5-gram, bucket = h % 64, signature component = min per
+            # bucket, band key = 4 consecutive (bucket:minhash) components,
+            # candidate pairs share a band (buckets capped at 4096 like the
+            # engine), verified by exact distinct-gram Jaccard >= 0.5.
+            "WITH raw AS ("
+            " SELECT doc_id, unnest(list_transform("
+            "  range(1, greatest(length(lower(coalesce(text, ''))) - 4, 1) + 1),"
+            "  i -> substr(lower(coalesce(text, '')), CAST(i AS INT), 5))) AS g"
+            " FROM documents),"
+            " grams AS (SELECT DISTINCT doc_id, g FROM raw),"
+            " hashed AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),"
+            "  i -> CAST(strpos('0123456789abcdef',"
+            "    substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT)"
+            "   * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS BIGINT) AS h"
+            "  FROM grams),"
+            " comps AS (SELECT doc_id, h % 64 AS bkt, MIN(h) AS mh"
+            "  FROM hashed GROUP BY doc_id, h % 64),"
+            " keys AS (SELECT doc_id, CAST(bkt // 4 AS INT) AS band,"
+            "   string_agg(bkt || ':' || mh, ',' ORDER BY bkt) AS bkey"
+            "  FROM comps GROUP BY doc_id, bkt // 4),"
+            " ok AS (SELECT band, bkey FROM keys GROUP BY band, bkey"
+            "  HAVING count(*) <= 4096),"
+            " kk AS (SELECT k.* FROM keys k JOIN ok USING (band, bkey)),"
+            " cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM kk x"
+            "  JOIN kk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),"
+            " cnt AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),"
+            " inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c"
+            "  JOIN grams ga ON ga.doc_id = c.a"
+            "  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g GROUP BY c.a, c.b)"
+            " SELECT a, b, ROUND(i * 1.0 / (ca.ng + cb.ng - i), 6) AS jaccard"
+            " FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b"
+            " WHERE ROUND(i * 1.0 / (ca.ng + cb.ng - i), 6) >= 0.5"
+        ),
+        "embed_near_dup": (
+            # axis-aligned sign LSH: bit i = sign(embedding[1 + 6*i]) for
+            # i in 0..9 (64-dim vectors), bucket = 10-char bit string capped
+            # at 4096 members; exact float64 cosine >= 0.98 inside buckets,
+            # rounded to 4 decimals before the compare on both engines.
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+            "  concat(" + ", ".join(
+                f"CASE WHEN embedding[{1 + 6 * i}] >= 0 THEN '1' ELSE '0' END"
+                for i in range(10)) + ") AS bucket"
+            " FROM embeddings),"
+            " ok AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 4096),"
+            " ee AS (SELECT e.* FROM e JOIN ok USING (bucket))"
+            " SELECT a, b, cosine FROM ("
+            "  SELECT x.vec_id AS a, y.vec_id AS b,"
+            "   ROUND(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 4) AS cosine"
+            "  FROM ee x JOIN ee y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) p"
+            " WHERE cosine >= 0.98"
+        ),
+        # ann_lsh_topk / simhash_near_dup: intentionally rows-only — their
+        # hash families (seeded-Gaussian hyperplanes, xxhash-family shingle
+        # hashes) have no ANSI-SQL twin; exactness/recall is pytest-pinned
+        # (tests/test_pipeline.py). Their oracled siblings cover the same
+        # algorithms end-to-end: ann_cosine_topk (exact re-rank kernel),
+        # simhash_md5_near_dup (lossless pigeonhole blocking), and
+        # minhash_near_dup / embed_near_dup above (LSH bucketing + verify).
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
             " SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS cosine"

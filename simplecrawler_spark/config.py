@@ -30,6 +30,9 @@ class CrawlConfig:
     ignore_www_domain: bool = True         # ignoreWWWDomain
     strip_www_domain: bool = False         # stripWWWDomain
     domain_whitelist: list[str] = field(default_factory=list)
+    # allowInitialDomainChange (crawler.js:≈L1000–1060): if the INITIAL URL's
+    # first fetch redirects to another domain, the crawl domain follows it
+    allow_initial_domain_change: bool = False
     allowed_protocols: list[str] = field(default_factory=lambda: [r"^http$", r"^https$"])
 
     # --- URL processing (processURL, crawler.js:≈L740–820) ---
@@ -46,6 +49,10 @@ class CrawlConfig:
                                  r"(?i)^application/javascript", r"(?i)^xml"]
     )
     download_unsupported: bool = True      # downloadUnsupported
+    # F7/F6 response-body handling (real-fetch + HTML-discovery seams;
+    # table-mode corpora store decoded bodies): functions/body.py
+    decompress_responses: bool = True      # decompressResponses (crawler.js:≈L1560)
+    decode_responses: bool = False         # decodeResponses (crawler.js:≈L1600)
     # fetchWhitelistedMimeTypesBelowMaxDepth (crawler.js:≈L980–1000): URLs
     # whose extension implies a whitelisted MIME may exceed maxDepth — by any
     # amount (True) or by at most N extra levels (int). False = plain gate.

@@ -143,6 +143,15 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         body_size = int(rng.integers(500, 50_000)) if not image_id else int(rng.integers(800, 8_000))
         if rng.random() < 0.001:
             body_size = 20 * 1024 * 1024  # exercises maxResourceSize gate
+        # transport-level failures (reference: request timeout → `fetchtimeout`,
+        # socket/DNS error → `fetchclienterror`, crawler.js:≈L1250–1320): the
+        # response row exists in "the internet" but the request never completes
+        failure = None
+        fr2 = rng.random()
+        if fr2 < 0.008:
+            failure = "timeout"
+        elif fr2 < 0.015:
+            failure = "clienterror"
         # stateData telemetry (D2, queue.js:≈L180–260 statistics whitelist):
         # deterministic per-URL latencies — what a real fetch would time
         request_latency = round(float(rng.uniform(5.0, 400.0)), 3)
@@ -150,13 +159,14 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         rows.append(
             (i, url, host_name(h), code, redirect_to, content_type, links,
              image_id, caption, grp, body_size,
-             request_latency, download_time, round(request_latency + download_time, 3))
+             request_latency, download_time, round(request_latency + download_time, 3),
+             failure)
         )
     return pd.DataFrame(
         rows,
         columns=["url_id", "url_norm", "host", "status_code", "redirect_to",
                  "content_type", "links", "image_id", "caption", "robots_group", "body_size",
-                 "request_latency_ms", "download_time_ms", "request_time_ms"],
+                 "request_latency_ms", "download_time_ms", "request_time_ms", "failure"],
     )
 
 
@@ -223,7 +233,8 @@ WEB_SCHEMA = (
     "url_id long, url_norm string, host string, status_code int, redirect_to string, "
     "content_type string, links array<string>, image_id string, caption string, "
     "robots_group string, body_size long, "
-    "request_latency_ms double, download_time_ms double, request_time_ms double"
+    "request_latency_ms double, download_time_ms double, request_time_ms double, "
+    "failure string"
 )
 IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
 

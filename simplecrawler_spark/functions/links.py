@@ -145,3 +145,34 @@ def clean_expand_series(
     for p, l in grouped.items():
         out[p] = l
     return pd.Series(out)
+
+
+def discover_links_df(pages, parse_html_comments: bool = True,
+                      parse_script_tags: bool = True,
+                      regexes: list[re.Pattern] | None = None):
+    """HTML-mode discovery as a DataFrame op: raw (possibly compressed,
+    possibly non-UTF-8) response bodies → per-page raw match lists, in one
+    ``mapInPandas`` pass chaining F7 decompress → F6 charset decode → F2
+    regex discovery (reference response pipeline order,
+    ``lib/crawler.js:≈L1560–1660`` then ``discoverResources`` ≈L900–950).
+
+    Input columns: ``url_norm string, body binary, content_encoding string,
+    content_type string``. Output adds ``links array<string>`` (raw matches
+    — feed to :func:`clean_expand_series` next, exactly like table mode) and
+    ``gzip_ok boolean`` (False rows = the reference's ``gziperror`` event).
+    """
+    from simplecrawler_spark.functions.body import decode_series, decompress_series
+
+    def disco(batches):
+        for pdf in batches:
+            bodies, ok = decompress_series(pdf["body"], pdf["content_encoding"])
+            texts = decode_series(bodies, pdf["content_type"])
+            links = [
+                discover_resources(t, regexes, parse_html_comments, parse_script_tags)
+                if t else [] for t in texts
+            ]
+            yield pd.DataFrame({"url_norm": pdf["url_norm"], "links": links,
+                                "gzip_ok": ok})
+
+    return pages.select("url_norm", "body", "content_encoding", "content_type") \
+        .mapInPandas(disco, schema="url_norm string, links array<string>, gzip_ok boolean")

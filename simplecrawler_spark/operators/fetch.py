@@ -31,7 +31,10 @@ from simplecrawler_spark.operators.admission import condition_col
 
 WEB_COLS = ["url_norm", "status_code", "redirect_to", "content_type", "links",
             "image_id", "caption", "body_size",
-            "request_latency_ms", "download_time_ms", "request_time_ms"]
+            "request_latency_ms", "download_time_ms", "request_time_ms", "failure"]
+# types for columns optional on the web table (older corpora / hand fixtures)
+_OPTIONAL_COL_TYPES = {"request_latency_ms": "double", "download_time_ms": "double",
+                       "request_time_ms": "double", "failure": "string"}
 
 
 def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None) -> DataFrame:
@@ -45,9 +48,10 @@ def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None)
     # enemy of the N→4N efficiency gate. Above ~100k rows a shuffled join
     # costs more total work but all of it scales with executors.
     b = F.broadcast(batch) if (batch_rows is None or batch_rows <= 100_000) else batch
-    # telemetry columns are optional on the web table (older corpora /
+    # telemetry/failure columns are optional on the web table (older corpora /
     # hand-built fixtures): absent ones surface as nulls
-    wsel = [F.col(c) if c in web.columns else F.lit(None).cast("double").alias(c)
+    wsel = [F.col(c) if c in web.columns
+            else F.lit(None).cast(_OPTIONAL_COL_TYPES[c]).alias(c)
             for c in WEB_COLS]
     hits = web.select(*wsel).join(b, "url_norm")
     misses = batch.join(hits.select("url_norm"), "url_norm", "left_anti")
@@ -67,6 +71,10 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
     dl_ok = condition_col(outcomes.columns, download_conditions or [])
     status = (
         F.when(~F.col("found"), "failed")
+        # transport failures: the request never completed, so no response
+        # attribute (status code, Location, body) is consulted — reference
+        # `fetchtimeout` / `fetchclienterror` (crawler.js:≈L1250–1320)
+        .when(F.col("failure").isNotNull(), "failed")
         .when(F.col("status_code") == 304, "notmodified")
         # any 3xx with a Location is a redirect (handleResponse,
         # crawler.js:≈L1390–1430) — 301/302/303/307/308 alike
@@ -82,7 +90,9 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
     )
     out = outcomes.withColumn("status", status).withColumn("mime_supported", mime_ok)
     event = (
-        F.when(F.col("status") == "failed", "fetcherror")
+        F.when(F.col("failure") == "timeout", "fetchtimeout")
+        .when(F.col("failure") == "clienterror", "fetchclienterror")
+        .when(F.col("status") == "failed", "fetcherror")
         .when(F.col("status") == "notmodified", "notmodified")
         .when(F.col("status") == "redirected", "fetchredirect")
         .when((F.col("status") == "notfound") & (F.col("status_code") == 410), "fetch410")

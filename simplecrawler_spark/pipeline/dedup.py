@@ -212,6 +212,64 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
     return out.where(F.col("jaccard") >= threshold)
 
 
+def minhash_oph_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
+                      num_buckets: int = 64, rows_per_band: int = 4,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int = 4096) -> DataFrame:
+    """MinHash near-dup pairs via **one-permutation hashing** (Li/Owen/Zhang
+    2012) with md5 gram hashes — PURE Spark built-ins end to end, which makes
+    the whole pipeline (a) whole-stage-codegen JVM work with a map-side
+    combinable ``min`` as the only aggregation, and (b) bit-for-bit
+    reproducible in DuckDB SQL, so the driver's value-hash oracle covers it
+    (unlike the seeded-numpy k-permutation variant
+    :func:`minhash_signatures`, whose xxhash-family gram hashing has no SQL
+    twin and stays pytest-pinned).
+
+    OPH replaces k permutations with ONE hash per gram: bucket = h mod
+    ``num_buckets``; signature component j = min hash landing in bucket j.
+    Empty buckets (short docs) are simply absent — the band key encodes
+    (bucket:minhash) pairs sorted by bucket, so two docs agree on a band iff
+    they agree on exactly which buckets are filled and with what minima,
+    deterministically in both engines.
+
+    Scale shape: explode(distinct grams) → md5 → groupBy(doc, bucket) min —
+    linear in corpus text volume, one shuffle keyed by (doc, bucket), then
+    the LSH band equi-join (hot buckets capped via
+    :func:`drop_hot_buckets`). Candidates get an exact distinct-gram Jaccard
+    verify (gram equi-join restricted to candidate pairs only)."""
+    bands = num_buckets // rows_per_band
+    grams = docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.expr(_grams_sql(text_col, n))).alias("g"))
+    hashed = grams.select(
+        "_id",
+        F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").alias("h"))
+    comps = (hashed.groupBy("_id", (F.col("h") % num_buckets).alias("bkt"))
+             .agg(F.min("h").alias("mh")))
+    keys = (comps.withColumn("band", F.expr(f"bkt div {rows_per_band}"))
+            .groupBy("_id", "band")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("bkt", "mh"))),
+                            lambda s: F.concat_ws(":", s["bkt"], s["mh"])),
+                ",").alias("bkey")))
+    keys = drop_hot_buckets(keys, ["band", "bkey"], max_bucket, "minhash_oph_pairs")
+    ka = keys.select(F.col("_id").alias("a"), "band", "bkey")
+    kb = keys.select(F.col("_id").alias("b"), "band", "bkey")
+    cand = (ka.join(kb, ["band", "bkey"]).where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    # exact distinct-gram Jaccard on candidates only (verify kernel, built-ins)
+    cnt = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("ng"))
+    ga = grams.select(F.col("_id").alias("a"), "g")
+    gb = grams.select(F.col("_id").alias("b"), "g")
+    inter = (cand.join(ga, "a").join(gb, ["b", "g"])
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
+    jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    return (inter
+            .join(cnt.select(F.col("_id").alias("a"), F.col("ng").alias("na")), "a")
+            .join(cnt.select(F.col("_id").alias("b"), F.col("ng").alias("nb")), "b")
+            .select("a", "b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
 def fingerprint_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit whole-document fingerprint from md5(lower(text)) — the
     oracle-checkable twin of the rolling-hash fingerprint (md5 hex agrees

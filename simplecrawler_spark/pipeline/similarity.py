@@ -88,6 +88,40 @@ def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def axis_sign_near_dupes(embeddings: DataFrame, threshold: float = 0.98,
+                         dims: list[int] | None = None, n_bits: int = 10,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         max_bucket: int = 4096) -> DataFrame:
+    """Near-duplicate pairs via **axis-aligned sign LSH**: bit i =
+    sign(vec[dims[i]]). Coordinate signs ARE random-hyperplane LSH for
+    roughly isotropic embeddings (the hyperplanes are the coordinate axes),
+    but unlike seeded-Gaussian hyperplanes the bucket key is a pure SQL
+    expression — deterministic and reproducible in DuckDB, so the driver's
+    value-hash oracle covers the full pipeline (bucketing + exact cosine
+    verify), not just row counts. :func:`embedding_near_dupes` (Gaussian
+    hyperplanes) remains the tunable scale path; same plan shape.
+
+    ``dims`` defaults to ``n_bits`` evenly-spread coordinates of a 64-dim
+    vector. Cosine is computed in float64 and rounded to 4 decimals before
+    the threshold compare on BOTH engines, so boundary behavior agrees."""
+    from simplecrawler_spark.pipeline.dedup import drop_hot_buckets
+
+    if dims is None:
+        dims = [i * (64 // n_bits) for i in range(n_bits)]
+    bucket = F.concat_ws("", *[
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims])
+    e = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+                          bucket.alias("bucket"))
+    e = drop_hot_buckets(e, ["bucket"], max_bucket, "axis_sign_near_dupes")
+    a = e.select(F.col(id_col).alias("a"), F.col("_v").alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"), "bucket")
+    cand = a.join(b, "bucket").where(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (cand.select("a", "b", F.round(cos, 4).alias("cosine"))
+            .where(F.col("cosine") >= threshold).distinct())
+
+
 def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.95,
                          n_bits: int = 12, seed: int = 42,
                          id_col: str = "vec_id", vec_col: str = "embedding",

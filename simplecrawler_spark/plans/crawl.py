@@ -553,7 +553,8 @@ class CrawlEngine:
 
             from pyspark.sql import Observation
 
-            event_names = ["fetcherror", "notmodified", "fetchredirect", "fetch404",
+            event_names = ["fetcherror", "fetchtimeout", "fetchclienterror",
+                           "notmodified", "fetchredirect", "fetch404",
                            "fetch410", "fetchdataerror", "downloadprevented", "fetchcomplete"]
             ev_obs = Observation(f"events_r{rnd}")
             # `discoverycomplete` (Appendix B) fires once per resource that
@@ -567,6 +568,27 @@ class CrawlEngine:
                   for e in event_names],
                 disco.alias("discoverycomplete"),
             )
+            if (cfg.allow_initial_domain_change and cfg.filter_by_domain
+                    and rnd == 1 and b_lo <= 0):
+                # P1 allowInitialDomainChange (crawler.js:≈L1000–1060): the
+                # reference mutates `crawler.host` when the INITIAL URL's
+                # response is a cross-domain redirect. One tiny driver-side
+                # lookup, only ever in round 1 and only when the knob is on.
+                outcomes = outcomes.persist()
+                first = (outcomes
+                         .where((F.col("seq") == 0) & (F.col("status") == "redirected"))
+                         .select("url_norm", "redirect_to").collect())
+                if first:
+                    u0 = canonicalize_one(
+                        first[0]["redirect_to"], first[0]["url_norm"],
+                        strip_querystring=cfg.strip_querystring,
+                        sort_query_parameters=cfg.sort_query_parameters,
+                        strip_www_domain=cfg.strip_www_domain)
+                    if u0 is not None:
+                        from simplecrawler_spark.functions.canonicalize import split_host
+                        nh = split_host(u0)
+                        if nh and self.seed_hosts and nh != self.seed_hosts[0]:
+                            self.seed_hosts = [nh] + self.seed_hosts[1:]
             fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
             if self.images is not None:
                 # the payload-verify broadcast subtree re-reads outcomes —
@@ -586,7 +608,7 @@ class CrawlEngine:
                            .withColumn("payload_ok", F.lit(None).cast("boolean")))
             fetched_sel = fetched.select(
                 *QUEUED_COLS, "round_queued", "status", "event", "status_code",
-                "content_type", "body_size", "image_id", "caption",
+                "failure", "content_type", "body_size", "image_id", "caption",
                 "request_latency_ms", "download_time_ms", "request_time_ms",
                 "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched",
                 # discovery inputs ride along and are dropped by the writer

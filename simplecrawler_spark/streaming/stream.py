@@ -56,6 +56,11 @@ def stream_crawl(spark: SparkSession, engine: CrawlEngine,
     )
     return (
         ticks.writeStream.foreachBatch(tick)
+        # W3 wall-clock pacing — the `interval` analog (crawler.js:≈L660):
+        # micro-batch starts align to the trigger clock; a round that
+        # overruns its tick starts the next round immediately (the
+        # reference's lagging-setInterval behavior)
+        .trigger(processingTime=f"{int(tick_seconds * 1000)} milliseconds")
         .option("checkpointLocation", f"{engine.wh.root}/_stream_checkpoint")
         .start()
     )

@@ -131,6 +131,11 @@ class OracleCrawler:
         row = self.web.get(item["url_norm"])
         if row is None:
             return "failed", "fetcherror", None
+        # transport failures precede any response attribute (classify order)
+        if row.get("failure") == "timeout":
+            return "failed", "fetchtimeout", row
+        if row.get("failure") == "clienterror":
+            return "failed", "fetchclienterror", row
         code = row["status_code"]
         if code == 304:
             return "notmodified", "notmodified", row
@@ -184,6 +189,13 @@ class OracleCrawler:
                 res.fetched_log.append((rnd, it["seq"], it["url_norm"], it["depth"], status))
                 if status == "redirected":
                     u = self._canon(row["redirect_to"], it["url_norm"])
+                    if (cfg.allow_initial_domain_change and cfg.filter_by_domain
+                            and rnd == 1 and it["seq"] == 0 and u is not None):
+                        # allowInitialDomainChange: the initial URL's redirect
+                        # moves the crawl domain (crawler.js:≈L1000–1060)
+                        nh = split_host(u)
+                        if nh and self.seed_hosts and nh != self.seed_hosts[0]:
+                            self.seed_hosts = [nh] + self.seed_hosts[1:]
                     if u is not None:
                         candidates.append((it["seq"], 0, u, it["depth"] + 1, it["url_norm"]))
                 elif status == "downloaded" and self._mime_supported(row["content_type"]):

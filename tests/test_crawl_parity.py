@@ -162,7 +162,7 @@ def _mk_web_rows(specs):
             "redirect_to": None, "content_type": ct, "links": links,
             "image_id": None, "caption": None, "robots_group": "open",
             "body_size": 1000, "request_latency_ms": 10.0,
-            "download_time_ms": 5.0, "request_time_ms": 15.0,
+            "download_time_ms": 5.0, "request_time_ms": 15.0, "failure": None,
         })
     return rows
 
@@ -213,3 +213,53 @@ def test_parity_fetch_and_download_conditions(spark, corpus, tmp_path):
     _assert_parity(spark, result, oresult)
     assert oresult.events.get("fetchprevented", 0) > 0
     assert oresult.events.get("downloadprevented", 0) > 0
+
+
+def test_parity_transport_failures(spark, corpus, tmp_path):
+    """fetchtimeout / fetchclienterror (crawler.js:≈L1250–1320): transport
+    failures in the corpus classify as 'failed' with the right event, run no
+    discovery, and the engine ≡ oracle on order + events."""
+    d, p = corpus
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
+                      filter_by_domain=False, dedupe_mode="exact", max_rounds=500)
+    result, oresult = _run_both(spark, d, cfg, tmp_path)
+    _assert_parity(spark, result, oresult)
+    assert oresult.events.get("fetchtimeout", 0) > 0, "corpus must emit timeouts"
+    assert oresult.events.get("fetchclienterror", 0) > 0
+    # a transport-failed row never contributes discoveries even if it had links
+    fl = result.fetched_log(spark)
+    assert fl.where(F.col("failure").isNotNull()).count() > 0
+    assert fl.where(F.col("failure").isNotNull()) \
+             .where(F.col("status") != "failed").count() == 0
+
+
+def test_parity_allow_initial_domain_change(spark, tmp_path):
+    """P1 allowInitialDomainChange (crawler.js:≈L1000–1060): the initial
+    URL's cross-domain redirect moves the crawl domain; without the knob the
+    crawl dies at the domain filter. Engine ≡ oracle in both modes."""
+    from simplecrawler_spark.corpus import WEB_SCHEMA
+
+    a, b = "http://a.example", "http://b.example"
+    rows = _mk_web_rows([
+        (f"{a}/", 301, "text/html", []),
+        (f"{b}/", 200, "text/html", [f"{b}/p/1", f"{a}/p/9"]),
+        (f"{b}/p/1", 200, "text/html", []),
+        (f"{a}/p/9", 200, "text/html", []),
+    ])
+    rows[0]["redirect_to"] = f"{b}/"
+    web = spark.createDataFrame(rows, WEB_SCHEMA)
+    for allow, expect_b in ((True, True), (False, False)):
+        cfg = CrawlConfig(seeds=[f"{a}/"], budget=16, dedupe_mode="exact",
+                          allow_initial_domain_change=allow, max_rounds=20,
+                          warehouse=str(tmp_path / f"wh_aidc_{allow}"))
+        eng = CrawlEngine(spark, cfg, web, robots=None)
+        result = eng.run()
+        oc = OracleCrawler(rows, [], cfg)
+        oresult = oc.run()
+        _assert_parity(spark, result, oresult)
+        fetched = {r["url_norm"] for r in result.fetched_log(spark).collect()}
+        assert (f"{b}/" in fetched) is expect_b
+        if expect_b:
+            # the domain moved WITH the crawl: b-links admitted, a-links now foreign
+            assert f"{b}/p/1" in fetched and f"{a}/p/9" not in fetched
+            assert oresult.events.get("invaliddomain", 0) > 0

@@ -107,3 +107,69 @@ def test_vectorized_cleanup_matches_scalar():
     got = list(_clean_raw_series(pd.Series(raws, dtype=object)))
     want = [_clean_raw(r) if r is not None else None for r in raws]
     assert got == want
+
+
+# ---- F7 decompression + F6 charset decode (functions/body.py) ----
+
+def test_decompress_gzip_deflate_identity():
+    import gzip as _gz
+    import zlib as _zl
+
+    from simplecrawler_spark.functions.body import decompress_one
+
+    raw = "héllo <a href='/x'>x</a>".encode("utf-8")
+    assert decompress_one(_gz.compress(raw), "gzip") == (raw, True)
+    assert decompress_one(_zl.compress(raw), "deflate") == (raw, True)
+    # raw-deflate servers (no zlib wrapper) — the lenient fallback
+    co = _zl.compressobj(wbits=-_zl.MAX_WBITS)
+    rawdef = co.compress(raw) + co.flush()
+    assert decompress_one(rawdef, "deflate") == (raw, True)
+    assert decompress_one(raw, None) == (raw, True)
+    assert decompress_one(raw, "identity") == (raw, True)
+    # corrupt gzip → gziperror (body passed through, ok=False)
+    assert decompress_one(b"\x1f\x8b junk", "gzip") == (b"\x1f\x8b junk", False)
+    # unknown coding (no brotli lib in-sandbox) → ok=False passthrough
+    assert decompress_one(raw, "br") == (raw, False)
+
+
+def test_charset_sniff_order_and_decode():
+    from simplecrawler_spark.functions.body import decode_one, sniff_charset
+
+    body_meta = b'<html><meta charset="ISO-8859-1"><body>caf\xe9</body>'
+    # header wins over meta
+    assert sniff_charset(body_meta, "text/html; charset=utf-8") == "utf-8"
+    assert sniff_charset(body_meta, "text/html") == "iso-8859-1"
+    assert decode_one(body_meta, "text/html").endswith("café</body>")
+    xml = b"<?xml version='1.0' encoding='latin-1'?><r>caf\xe9</r>"
+    assert sniff_charset(xml, None) == "latin-1"
+    assert "café" in decode_one(xml, "application/xml")
+    # no charset anywhere → utf-8; bad bytes replaced, never raised
+    assert sniff_charset(b"<p>x</p>", "text/html") == "utf-8"
+    assert "�" in decode_one(b"caf\xe9", "text/html")
+    # unknown charset name falls back to utf-8
+    assert decode_one(b"abc", "text/html; charset=klingon-8") == "abc"
+
+
+def test_discover_links_df_full_pipeline(spark):
+    """F7→F6→F2 chained in one mapInPandas pass: compressed latin-1 HTML
+    still yields its links; corrupt gzip rows flag gzip_ok=False."""
+    import gzip as _gz
+
+    from simplecrawler_spark.functions.links import discover_links_df
+
+    html = ('<html><meta charset="iso-8859-1"><body>caf\xe9 '
+            '<a href="/a">a</a> <img src="http://h.example/i.png"></body>'
+            ).encode("iso-8859-1")
+    rows = [
+        ("http://h.example/1", _gz.compress(html), "gzip", "text/html"),
+        ("http://h.example/2", html, None, "text/html; charset=iso-8859-1"),
+        ("http://h.example/3", b"\x1f\x8bcorrupt", "gzip", "text/html"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_norm string, body binary, content_encoding string, content_type string")
+    out = {r["url_norm"]: r for r in discover_links_df(df).collect()}
+    for u in ("http://h.example/1", "http://h.example/2"):
+        joined = " ".join(out[u]["links"])
+        assert "/a" in joined and "http://h.example/i.png" in joined
+        assert out[u]["gzip_ok"]
+    assert out["http://h.example/3"]["gzip_ok"] is False

@@ -90,6 +90,42 @@ def test_minhash_jaccard_estimate_close_to_exact(spark, docs):
     assert abs(est - true_j) < 0.15
 
 
+def test_minhash_oph_finds_planted_dups(spark, docs):
+    """OPH (built-ins, oracle-checkable) finds the planted exact + near dups
+    and never reports a pair below the verify threshold."""
+    out = dedup.minhash_oph_pairs(docs, threshold=0.6).collect()
+    got = {(r["a"], r["b"]) for r in out}
+    assert (3, 100) in got and (3, 101) in got and (100, 101) in got
+    assert (5, 102) in got
+    assert all(r["jaccard"] >= 0.6 for r in out)
+    # exact duplicates must verify at jaccard exactly 1.0
+    exact = {r["jaccard"] for r in out if (r["a"], r["b"]) == (3, 100)}
+    assert exact == {1.0}
+
+
+def test_minhash_oph_hot_bucket_cap(spark, docs):
+    boiler = [(30_000 + i, "lorem ipsum boilerplate footer") for i in range(2000)]
+    extra = spark.createDataFrame(boiler, "doc_id long, text string")
+    out = dedup.minhash_oph_pairs(docs.unionByName(extra), threshold=0.6,
+                                  max_bucket=100).collect()
+    got = {(r["a"], r["b"]) for r in out}
+    assert not any(a >= 30_000 and b >= 30_000 for a, b in got), \
+        "boilerplate bucket leaked quadratic pairs"
+    assert (3, 100) in got
+    assert len(got) < 5_000
+
+
+def test_axis_sign_near_dupes(spark, embeddings):
+    df, base = embeddings
+    got = {(r["a"], r["b"]) for r in similarity.axis_sign_near_dupes(
+        df, threshold=0.99, dims=list(range(0, 16, 2))).collect()}
+    assert (3, 7) in got
+    # no pair below threshold sneaks through
+    out = similarity.axis_sign_near_dupes(df, threshold=0.99,
+                                          dims=list(range(0, 16, 2))).collect()
+    assert all(r["cosine"] >= 0.99 for r in out)
+
+
 def test_simhash_near_dup(spark, docs):
     fps = dedup.simhash_fingerprints(docs)
     pairs = dedup.simhash_pairs(fps, max_hamming=3)
