@@ -99,12 +99,13 @@ class Crawler:
     # --- lifecycle ---
     def _engine(self) -> CrawlEngine:
         cfg = self.cfg
-        # force semantics note: the reference's force=true inserts a duplicate
-        # queue entry even when the URL was seen (lib/queue.js:≈L90). In the
-        # table model a second frontier row with the same url_hash would break
-        # the seen-keyed invariants, so force is modeled as "ensure enqueued"
-        # — identical observable behavior on a fresh queue (A.7).
-        cfg.seeds = list(cfg.seeds) + self._extra_seeds + self._force_seeds
+        # force=true (lib/queue.js:≈L90): forced URLs skip the seen-check and
+        # enqueue as TRUE duplicates — a second queue entry with its own seq
+        # (re-fetched), while the scan-index view (url → first seq) is
+        # unchanged. Admission gates still apply, exactly like the reference
+        # (queueURL gates run before queue.add).
+        cfg.seeds = list(cfg.seeds) + self._extra_seeds
+        cfg.force_seeds = list(cfg.force_seeds) + self._force_seeds
         return CrawlEngine(
             self.spark, cfg, self._web, self._images, self._robots,
             fetch_conditions=list(self._fetch_conditions.values()),

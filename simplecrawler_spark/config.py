@@ -92,6 +92,11 @@ class CrawlConfig:
     # --- storage ---
     warehouse: str = ""                    # snapshot root dir; empty = in-memory only (no resume)
     seed_force: bool = False               # A.7
+    # force=true TRUE-duplicate semantics (queue.js:≈L90): force-queued URLs
+    # skip the seen-check and enqueue even when the URL is already queued —
+    # a second queue entry with its own seq (re-fetch), while the scan-index
+    # view (url → first seq) is unchanged. Admission gates still apply.
+    force_seeds: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

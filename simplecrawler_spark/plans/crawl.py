@@ -303,10 +303,18 @@ class CrawlEngine:
         # link_idx) — map-side combinable partial agg, so heavily duplicated
         # candidates collapse BEFORE the shuffle (a row_number window would
         # shuffle+sort every candidate row). Keyed on (url_hash, url_norm):
-        # the string disambiguates 64-bit hash collisions.
+        # the string disambiguates 64-bit hash collisions. force=true rows
+        # (seed round only) get a per-row group key — true duplicates
+        # survive dedupe, per the reference's queue.add(item, force).
         cols = [c for c in admitted.columns if c not in ("url_hash", "url_norm")]
+        gkeys = ["url_hash", "url_norm"]
+        if "force" in admitted.columns:
+            admitted = admitted.withColumn(
+                "_fk", F.when(F.col("force"), F.col("link_idx")).otherwise(F.lit(0)))
+            cols = [c for c in cols if c != "_fk"]
+            gkeys = gkeys + ["_fk"]
         first = (
-            admitted.groupBy("url_hash", "url_norm")
+            admitted.groupBy(*gkeys)
             .agg(F.min_by(F.struct(*cols), F.struct("parent_seq", "link_idx")).alias("_s"))
             .select("url_hash", "url_norm", "_s.*")
         )
@@ -441,19 +449,30 @@ class CrawlEngine:
         Reference: ``start()`` → ``queueURL(initialURL)``,
         ``lib/crawler.js:≈L640–690``; seed depth = 1."""
         cfg = self.cfg
-        canon = []
-        for s in cfg.seeds:
-            u = canonicalize_one(
-                s, None, strip_querystring=cfg.strip_querystring,
-                sort_query_parameters=cfg.sort_query_parameters,
-                strip_www_domain=cfg.strip_www_domain)
-            if u is not None:
-                canon.append(u)
+
+        def _canon_list(urls):
+            out = []
+            for s in urls:
+                u = canonicalize_one(
+                    s, None, strip_querystring=cfg.strip_querystring,
+                    sort_query_parameters=cfg.sort_query_parameters,
+                    strip_www_domain=cfg.strip_www_domain)
+                if u is not None:
+                    out.append(u)
+            return out
+
+        canon = _canon_list(cfg.seeds)
+        forced = _canon_list(cfg.force_seeds)
         from simplecrawler_spark.functions.canonicalize import split_host
-        self.seed_hosts = [split_host(u) for u in canon]
-        rows = [(-1, i, u, 1, None) for i, u in enumerate(canon)]
+        self.seed_hosts = [split_host(u) for u in canon + forced]
+        # force=true (queue.js:≈L90): forced seeds ride the same admission
+        # pass but carry force=True — the in-batch dedupe gives each a unique
+        # group key, so they enqueue even as true duplicates (re-fetch)
+        rows = [(-1, i, u, 1, None, False) for i, u in enumerate(canon)]
+        rows += [(-1, len(canon) + j, u, 1, None, True) for j, u in enumerate(forced)]
         cands = self.spark.createDataFrame(
-            rows, "parent_seq long, link_idx int, url_norm string, depth int, referrer string"
+            rows, "parent_seq long, link_idx int, url_norm string, depth int, "
+                  "referrer string, force boolean"
         )
         cands = _with_host_hash(cands)
         n_new, metrics_rows = self._admit_dedupe_assign(cands, 0, 0, None, bounds=(-1, -1))

@@ -92,7 +92,8 @@ class OracleCrawler:
         return ct is not None and any(re.search(p, ct) for p in self.cfg.supported_mime_types)
 
     # --- admission (A.2 order), one candidate ---
-    def _admit(self, url: str, depth: int, referrer, rnd: int) -> None:
+    def _admit(self, url: str, depth: int, referrer, rnd: int,
+               force: bool = False) -> None:
         host = split_host(url)
         if not self._protocol_ok(url):
             self.events["protocol"] += 1
@@ -118,11 +119,13 @@ class OracleCrawler:
         if self.fc and not eval_condition_py(item, self.fc):
             self.events["fetchprevented"] += 1
             return
-        if url in self.seen:
+        if url in self.seen and not force:
             self.events["queueduplicate"] += 1
             return
+        # force=true (queue.js:≈L90): skip the scan-index check, enqueue a
+        # true duplicate; the index keeps the FIRST seq for the URL
         seq = len(self.queue)
-        self.seen[url] = seq
+        self.seen.setdefault(url, seq)
         self.queue.append({**item, "seq": seq, "status": "queued", "round_queued": rnd})
         self.events["queueadd"] += 1
 
@@ -157,10 +160,14 @@ class OracleCrawler:
     def run(self) -> OracleResult:
         cfg = self.cfg
         seeds = [u for u in (self._canon(s, None) for s in cfg.seeds) if u is not None]
-        self.seed_hosts = [split_host(u) for u in seeds]
+        forced = [u for u in (self._canon(s, None) for s in cfg.force_seeds)
+                  if u is not None]
+        self.seed_hosts = [split_host(u) for u in seeds + forced]
         self.events["crawlstart"] += 1
         for u in seeds:
             self._admit(u, 1, None, 0)
+        for u in forced:
+            self._admit(u, 1, None, 0, force=True)
         res = OracleResult()
         rnd = 0
         while rnd < cfg.max_rounds:

@@ -60,10 +60,12 @@ def _assert_parity(spark, result, oresult):
         f"{len(oresult.fetched_log)}; first diff: "
         f"{next((a, b) for a, b in zip(log, sorted(oresult.fetched_log)) if a != b) if log and oresult.fetched_log else 'len'}"
     )
-    seen = {
-        r["url_norm"]: r["seq"]
-        for r in result.url_seen(spark).select("url_norm", "seq").collect()
-    }
+    seen: dict = {}
+    for r in result.url_seen(spark).select("url_norm", "seq").collect():
+        # scan-index view: url → FIRST seq (force=true may append true
+        # duplicate queue entries with later seqs)
+        if r["url_norm"] not in seen or r["seq"] < seen[r["url_norm"]]:
+            seen[r["url_norm"]] = r["seq"]
     assert seen == oresult.seen
     eng_ev = {k: v for k, v in result.events.items() if v}
     ora_ev = {k: v for k, v in oresult.events.items() if v}
@@ -263,3 +265,38 @@ def test_parity_allow_initial_domain_change(spark, tmp_path):
             # the domain moved WITH the crawl: b-links admitted, a-links now foreign
             assert f"{b}/p/1" in fetched and f"{a}/p/9" not in fetched
             assert oresult.events.get("invaliddomain", 0) > 0
+
+
+def test_parity_force_true_duplicate(spark, tmp_path):
+    """force=true (queue.js:≈L90): a force-queued URL that is already a seed
+    still enqueues — a TRUE duplicate queue entry with its own seq that gets
+    fetched again — while the scan-index (url → first seq) is unchanged and
+    admission gates still apply to forced URLs. Engine ≡ oracle."""
+    from simplecrawler_spark.corpus import WEB_SCHEMA
+
+    h = "http://host0.example"
+    rows = _mk_web_rows([
+        (f"{h}/p/0", 200, "text/html", [f"{h}/p/1"]),
+        (f"{h}/p/1", 200, "text/html", []),
+        ("http://other.example/x", 200, "text/html", []),
+    ])
+    web = spark.createDataFrame(rows, WEB_SCHEMA)
+    cfg = CrawlConfig(seeds=[f"{h}/p/0"],
+                      force_seeds=[f"{h}/p/0", "http://other.example/x"],
+                      budget=16, dedupe_mode="exact", max_rounds=20,
+                      warehouse=str(tmp_path / "wh_force"))
+    eng = CrawlEngine(spark, cfg, web, robots=None)
+    result = eng.run()
+    oc = OracleCrawler(rows, [], cfg)
+    oresult = oc.run()
+    _assert_parity(spark, result, oresult)
+    fl = result.fetched_log(spark)
+    # the seed URL was fetched twice (two queue entries, two seqs)
+    assert fl.where(F.col("url_norm") == f"{h}/p/0").count() == 2
+    seqs = sorted(r["seq"] for r in
+                  result.url_seen(spark).where(F.col("url_norm") == f"{h}/p/0").collect())
+    assert len(seqs) == 2 and seqs[0] == 0
+    # scan-index parity kept the FIRST seq
+    assert oresult.seen[f"{h}/p/0"] == 0
+    # its child was admitted once, duplicated on the second visit
+    assert oresult.events["queueduplicate"] >= 1
