@@ -61,6 +61,9 @@ def main() -> None:
     # hold it constant across parallelism levels so the scaling comparison
     # varies cores only (32 partitions = 4 waves at 8 cores, 1 wave at 32).
     extra_conf = {"spark.sql.adaptive.enabled": "false"} if args.no_aqe else {}
+    # ad-hoc conf experiments (e.g. '{"spark.io.compression.codec":"zstd"}')
+    if os.environ.get("SPARK_GRAFT_EXTRA_CONF"):
+        extra_conf.update(json.loads(os.environ["SPARK_GRAFT_EXTRA_CONF"]))
     ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if ev_dir:  # stage-level profiling: parse the JSON event log afterwards
         os.makedirs(ev_dir, exist_ok=True)

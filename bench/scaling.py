@@ -61,9 +61,15 @@ def main() -> None:
     ap.add_argument("--img-frac", type=float, default=0.08)
     ap.add_argument("--img-sizes", default="16,32,64")
     ap.add_argument("--max-rounds", type=int, default=500)
+    ap.add_argument("--no-aqe", action="store_true",
+                    help="forwarded to run_crawl: AQE's per-shuffle query-stage "
+                         "barriers are pure serial latency per round (measured "
+                         "~12%% at 8 cores); the crawl's partitioning is static")
     args = ap.parse_args()
     extra = ["--seeds", str(args.seeds), "--img-frac", str(args.img_frac),
              "--img-sizes", args.img_sizes, "--max-rounds", str(args.max_rounds)]
+    if args.no_aqe:
+        extra.append("--no-aqe")
 
     # prepare corpus once (excluded from timing)
     env = dict(os.environ, PYTHONPATH=REPO)

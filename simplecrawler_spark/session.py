@@ -17,7 +17,15 @@ def get_spark(app: str = "simplecrawler-spark", master: str = "local[4]",
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE stays on for its skew-join splitting, but partition COALESCING
+        # is off: `shuffle_partitions` is part of the engine's PLAN (sized to
+        # executors × wave factor), and coalescing a UDF-heavy crawl-round
+        # shuffle down to ~data-size/64MB partitions destroys parallelism —
+        # profiled on this box: the round's fused stage coalesced 32 → 12
+        # tasks with a 27 s straggler, capping an 8-core run at ~6/8 slot
+        # occupancy (bench_out/scaling.json, BENCH.md §2). On a cluster,
+        # re-enable it per-job if scans dominate and partitions are tiny.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bounded Arrow batches: binary payload rows can be 10-100 KB each,
         # so 4096 rows keeps Spark→Python transfers in the tens of MB
