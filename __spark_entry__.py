@@ -200,6 +200,14 @@ def _ann_lsh_topk(spark, sf):
                         k=10, n_bits=8, probe_hamming=1)
 
 
+def _ann_ivf_topk(spark, sf):
+    from simplecrawler_spark.pipeline.similarity import ivf_flat_topk
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_flat_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec],
+                         k=10, n_centroids=16, nprobe=4)
+
+
 def _minhash_near_dup(spark, sf):
     # one-permutation-hashing variant (md5 gram hashes, pure built-ins):
     # exactly DuckDB-oracled. The seeded-numpy k-permutation banded variant
@@ -245,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _fingerprints,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "minhash_near_dup": _minhash_near_dup,
         "simhash_near_dup": _simhash_near_dup,
         "embed_near_dup": _embed_near_dup,
@@ -459,6 +468,26 @@ def oracle_sql() -> dict[str, str]:
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
             " SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS cosine"
             " FROM embeddings e, q WHERE e.vec_id <> 0"
+            " ORDER BY cosine DESC, e.vec_id LIMIT 10"
+        ),
+        "ann_ivf_topk": (
+            # IVF-Flat: codebook = 16 lowest-id vectors; assign each vector
+            # to its nearest centroid (ROUND(cos,6) DESC, cid tie-break —
+            # mirrors the engine's array_max struct ordering); probe the 4
+            # cells nearest the query; exact re-rank inside them.
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),"
+            " c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings"
+            "       WHERE vec_id <> 0 ORDER BY vec_id LIMIT 16),"
+            " probe AS (SELECT cid FROM c, q"
+            "           ORDER BY ROUND(CAST(list_cosine_similarity(cvec, qe) AS DOUBLE), 6) DESC, cid"
+            "           LIMIT 4),"
+            " assign AS (SELECT vec_id, cid FROM ("
+            "   SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+            "     ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS DOUBLE), 6) DESC, c.cid) AS rn"
+            "   FROM embeddings e, c WHERE e.vec_id <> 0) WHERE rn = 1)"
+            " SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS DOUBLE), 4) AS cosine"
+            " FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q"
+            " WHERE a.cid IN (SELECT cid FROM probe)"
             " ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
     }

@@ -47,9 +47,9 @@ _ORIGIN_RE = re.compile(r"^(https?://[a-z0-9][a-z0-9.\-]*)(?::(\d+))?(?=/|$)")
 # Plain relative-path reference: no scheme/netloc/query/fragment/percent —
 # RFC 3986 §5.3 merge reduces to basedir + ref (dot segments handled after).
 # "//" inside a relative ref is excluded: urljoin (the slow-path authority)
-# collapses empty segments there. ";" is excluded too: urlparse's legacy
-# params-splitting can empty the path ("a/;") and change resolution.
-_REL_PATH_RE = re.compile(r"^(?!/)(?:[A-Za-z0-9_\-,=&.]|/(?!/))+$")
+# collapses empty segments there. ";" is fine: the scalar path shields it
+# from urlparse's legacy params-splitting, so both paths keep it verbatim.
+_REL_PATH_RE = re.compile(r"^(?!/)(?:[A-Za-z0-9_\-,;=&.]|/(?!/))+$")
 
 
 def _pct_normalize(s: str) -> str:
@@ -104,7 +104,19 @@ def canonicalize_one(
     if not raw:
         return None
     try:
-        absolute = urljoin(base, raw) if base else raw
+        if base:
+            # urljoin rides on urlparse, whose legacy params-splitting DROPS
+            # a ";params" suffix on the reference's last path segment
+            # ("/;" → "/"). RFC 3986 (and the reference's urijs absoluteTo())
+            # treat ";" as an ordinary path character, so shield it with a
+            # sentinel that cannot occur in a valid URL and restore it after
+            # resolution. (Private-use codepoint: C0 controls are stripped by
+            # urlsplit's WHATWG-style trim, so "\x01" would vanish.)
+            _S = "\ue000"
+            absolute = urljoin(base.replace(";", _S), raw.replace(";", _S))
+            absolute = absolute.replace(_S, ";")
+        else:
+            absolute = raw
         parts = urlsplit(absolute)
     except ValueError:
         return None

@@ -142,3 +142,58 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.95,
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (cand.select("a", "b", F.round(cos, 4).alias("cosine"))
             .where(F.col("cosine") >= threshold).distinct())
+
+
+def ivf_flat_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                  n_centroids: int = 16, nprobe: int = 4,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize every vector to its nearest centroid
+    (by cosine), search only the ``nprobe`` cells nearest the query, exact
+    re-rank inside them. The third leg of the similarity family next to
+    brute force (:func:`cosine_topk`) and LSH (:func:`ann_topk_lsh`).
+
+    Codebook here = the ``n_centroids`` lowest-id vectors — deterministic
+    and SQL-expressible, so the DuckDB oracle verifies the FULL pipeline
+    (assignment argmax, probe selection, re-rank). Production swaps in a
+    trained k-means codebook through the same ``centroids`` shape; the plan
+    does not change.
+
+    Scale shape: the codebook is driver-collected (config-scale — 16×64
+    floats) and embedded as literal expressions, so assignment is a per-row
+    ``array_max`` over ``n_centroids`` structs — narrow, zero shuffle,
+    whole-stage codegen; NO explode/crossJoin of N×C rows. The only wide
+    node is the final TakeOrdered(k). With ``nprobe == n_centroids`` the
+    result equals :func:`cosine_topk` exactly (tested).
+
+    Cosines are computed in float64 and rounded (6 dp for argmax/probe,
+    4 dp for output, ids as tie-break) so both engines agree at boundaries.
+    """
+    cents = (embeddings.orderBy(id_col).limit(n_centroids)
+             .select(id_col, F.col(vec_col).cast("array<double>"))
+             .collect())
+    codebook = [(int(r[0]), np.asarray(r[1], dtype=np.float64)) for r in cents]
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    probe_ids = [cid for cid, _ in sorted(
+        codebook,
+        key=lambda c: (-round(float(c[1] @ q) / (float(np.sqrt(c[1] @ c[1])) * qn), 6),
+                       c[0]))[:nprobe]]
+
+    v = F.col(vec_col).cast("array<double>")
+    vn = _norm(v)
+    # argmax over the literal codebook: max struct = (max cos, then max -cid
+    # = min cid) — per-row expression, no join, no shuffle
+    cand = F.array(*[
+        F.struct(
+            F.round(_dot(v, F.array(*[F.lit(float(x)) for x in cvec]))
+                    / (vn * F.lit(float(np.sqrt(cvec @ cvec)))), 6).alias("cos"),
+            F.lit(-cid).alias("ncid"))
+        for cid, cvec in codebook])
+    assigned = embeddings.withColumn("_cid", -F.array_max(cand)["ncid"])
+    cands = assigned.where(F.col("_cid").isin([int(p) for p in probe_ids]))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cos = _dot(v, qcol) / (vn * F.lit(qn))
+    return (cands.select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))

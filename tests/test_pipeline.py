@@ -164,6 +164,34 @@ def test_ann_lsh_recall(spark, embeddings):
     assert len(exact & ann) >= 3  # recall ≥ 0.6 with multi-probe on tiny data
 
 
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    # nprobe == n_centroids ⇒ every cell searched ⇒ IVF must equal the
+    # exact brute-force top-k bit for bit (same rounding, same tie-break)
+    df, base = embeddings
+    q = [float(x) for x in base[0]]
+    exact = similarity.cosine_topk(df.where("vec_id != 0"), q, k=5).collect()
+    ivf = similarity.ivf_flat_topk(df.where("vec_id != 0"), q, k=5,
+                                   n_centroids=8, nprobe=8).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_ivf_partial_probe_recall_and_order(spark, embeddings):
+    df, base = embeddings
+    q = [float(x) for x in base[0]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(
+        df.where("vec_id != 0"), q, k=5).collect()}
+    got = similarity.ivf_flat_topk(df.where("vec_id != 0"), q, k=5,
+                                   n_centroids=8, nprobe=3).collect()
+    assert len(got) == 5
+    cosines = [r["cosine"] for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+    # Probing 3/8 random-pick cells on 40 random gaussian vectors gives weak
+    # recall by construction (cells barely correlate with query proximity at
+    # this size) — assert the probe set intersects the true top-k at all;
+    # exactness is pinned by the full-probe test above.
+    assert len(exact & {r["vec_id"] for r in got}) >= 1
+
+
 def test_embedding_near_dupes(spark, embeddings):
     df, _ = embeddings
     got = {(r["a"], r["b"]) for r in
