@@ -119,3 +119,68 @@ def audio_features(media: DataFrame) -> DataFrame:
                                 "n_frames": nf, "feature_ok": ok})
 
     return media.select("media_id", "bytes").mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = ("media_id string, frame_idx long, w int, h int, "
+                      "png binary, frame_ok boolean")
+_VID_MAGIC = b"VID0"
+
+
+def pack_video(frames: np.ndarray) -> bytes:
+    """Deterministic raw-frame container for tests/benchmarks: ``VID0`` +
+    uint32 n_frames + uint16 w + uint16 h + concatenated RGB24 frames.
+    Stands in for a real container until a codec lib is swapped in."""
+    n, h, w, _ = frames.shape
+    head = (_VID_MAGIC + int(n).to_bytes(4, "big")
+            + int(w).to_bytes(2, "big") + int(h).to_bytes(2, "big"))
+    return head + frames.astype(np.uint8).tobytes()
+
+
+def _decode_video_frames(b: bytes) -> np.ndarray:
+    """STUB real-codec seam: only the ``VID0`` raw container decodes here
+    (no video codec libs in the sandbox); anything else is a real bitstream
+    and raises. Swap this function for an ffmpeg/pyav decoder on a cluster —
+    the Spark plumbing above it does not change."""
+    if b is None or len(b) < 12 or b[:4] != _VID_MAGIC:
+        raise NotImplementedError("real video decode requires codec libs")
+    n = int.from_bytes(b[4:8], "big")
+    w = int.from_bytes(b[8:10], "big")
+    h = int.from_bytes(b[10:12], "big")
+    body = np.frombuffer(b, dtype=np.uint8, offset=12)
+    return body.reshape(n, h, w, 3)
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 10,
+                       max_frames: int | None = None) -> DataFrame:
+    """Frame sampling: one input video row → one output row per sampled
+    frame (every ``every_n``-th, optionally capped at ``max_frames``), each
+    re-encoded as a real PNG via the repo codec. Row-exploding
+    ``mapInPandas`` keeps the decode batch-local — no shuffle; downstream
+    per-frame ops (features, phash near-dup) join on (media_id, frame_idx).
+    Undecodable payloads yield a single ``frame_ok=false`` row instead of
+    failing the task (poison-pill isolation at 100 TB)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("media_id", "frame_idx", "w", "h", "png", "frame_ok")}
+            for i in range(len(pdf)):
+                mid = pdf["media_id"].iat[i]
+                try:
+                    frames = _decode_video_frames(pdf["bytes"].iat[i])
+                except NotImplementedError:
+                    out["media_id"].append(mid); out["frame_idx"].append(-1)
+                    out["w"].append(0); out["h"].append(0)
+                    out["png"].append(None); out["frame_ok"].append(False)
+                    continue
+                idxs = range(0, frames.shape[0], every_n)
+                if max_frames is not None:
+                    idxs = list(idxs)[:max_frames]
+                for j in idxs:
+                    fr = frames[j]
+                    out["media_id"].append(mid); out["frame_idx"].append(int(j))
+                    out["w"].append(int(fr.shape[1])); out["h"].append(int(fr.shape[0]))
+                    out["png"].append(codec.encode(fr, "png")); out["frame_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "bytes").mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)

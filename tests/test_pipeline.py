@@ -257,3 +257,26 @@ def test_audio_stub_plumbing(spark):
     out = {r["media_id"]: r for r in multimodal.audio_features(df).collect()}
     assert out["m1"]["feature_ok"] and abs(out["m1"]["duration_s"] - 1.0) < 1e-9
     assert not out["m2"]["feature_ok"]
+
+
+def test_video_frame_sample_plumbing(spark):
+    rng = np.random.Generator(np.random.PCG64(9))
+    vid = rng.integers(0, 256, size=(25, 8, 12, 3)).astype(np.uint8)
+    rows = [("v1", bytearray(multimodal.pack_video(vid))),
+            ("v2", b"not-a-video"), ("v3", None)]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    out = multimodal.video_frame_sample(df, every_n=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], []).append(r)
+    # 25 frames sampled every 10 → idx 0, 10, 20
+    assert sorted(r["frame_idx"] for r in by["v1"]) == [0, 10, 20]
+    fr0 = [r for r in by["v1"] if r["frame_idx"] == 10][0]
+    assert (fr0["w"], fr0["h"]) == (12, 8)
+    # PNG payload roundtrips to the exact raw frame (lossless codec)
+    assert np.array_equal(codec.png_decode(bytes(fr0["png"])), vid[10])
+    # poison pills isolate to one frame_ok=false row each
+    assert [r["frame_ok"] for r in by["v2"]] == [False]
+    assert [r["frame_ok"] for r in by["v3"]] == [False]
+    mf = multimodal.video_frame_sample(df, every_n=10, max_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in mf if r["media_id"] == "v1") == [0, 10]
