@@ -32,7 +32,7 @@ from simplecrawler_spark.plans.crawl import CrawlEngine, CrawlResult
 # rides on every fetched row; see corpus.py request_latency_ms et al.)
 _STATS = {
     "actualDataSize": "body_size",
-    "contentLength": "body_size",
+    "contentLength": "content_length",
     "downloadTime": "download_time_ms",
     "requestLatency": "request_latency_ms",
     "requestTime": "request_time_ms",

@@ -143,6 +143,19 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         body_size = int(rng.integers(500, 50_000)) if not image_id else int(rng.integers(800, 8_000))
         if rng.random() < 0.001:
             body_size = 20 * 1024 * 1024  # exercises maxResourceSize gate
+        # Content-Length header (P6, crawler.js:≈L1470–1560): usually honest,
+        # sometimes absent (chunked transfer), sometimes lying — a mismatch
+        # with the streamed size sets `sentIncorrectSize`; an oversize header
+        # aborts pre-download (fetchdataerror before any body bytes)
+        clr = rng.random()
+        if clr < 0.02:
+            content_length = None
+        elif clr < 0.03:
+            content_length = int(body_size * 0.7) + 1
+        elif clr < 0.033:
+            content_length = 32 * 1024 * 1024
+        else:
+            content_length = body_size
         # transport-level failures (reference: request timeout → `fetchtimeout`,
         # socket/DNS error → `fetchclienterror`, crawler.js:≈L1250–1320): the
         # response row exists in "the internet" but the request never completes
@@ -158,7 +171,7 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         download_time = round(body_size / 1024.0 / float(rng.uniform(2.0, 20.0)), 3)
         rows.append(
             (i, url, host_name(h), code, redirect_to, content_type, links,
-             image_id, caption, grp, body_size,
+             image_id, caption, grp, body_size, content_length,
              request_latency, download_time, round(request_latency + download_time, 3),
              failure)
         )
@@ -166,6 +179,7 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         rows,
         columns=["url_id", "url_norm", "host", "status_code", "redirect_to",
                  "content_type", "links", "image_id", "caption", "robots_group", "body_size",
+                 "content_length",
                  "request_latency_ms", "download_time_ms", "request_time_ms", "failure"],
     )
 
@@ -232,7 +246,7 @@ def robots_table(p: CorpusParams) -> pd.DataFrame:
 WEB_SCHEMA = (
     "url_id long, url_norm string, host string, status_code int, redirect_to string, "
     "content_type string, links array<string>, image_id string, caption string, "
-    "robots_group string, body_size long, "
+    "robots_group string, body_size long, content_length long, "
     "request_latency_ms double, download_time_ms double, request_time_ms double, "
     "failure string"
 )

@@ -30,10 +30,11 @@ from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.operators.admission import condition_col
 
 WEB_COLS = ["url_norm", "status_code", "redirect_to", "content_type", "links",
-            "image_id", "caption", "body_size",
+            "image_id", "caption", "body_size", "content_length",
             "request_latency_ms", "download_time_ms", "request_time_ms", "failure"]
 # types for columns optional on the web table (older corpora / hand fixtures)
-_OPTIONAL_COL_TYPES = {"request_latency_ms": "double", "download_time_ms": "double",
+_OPTIONAL_COL_TYPES = {"content_length": "long",
+                       "request_latency_ms": "double", "download_time_ms": "double",
                        "request_time_ms": "double", "failure": "string"}
 
 
@@ -83,12 +84,23 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
         .when(F.col("status_code").isin(404, 410), "notfound")
         # remaining non-2xx (Location-less 3xx, other 4xx, 5xx) → fetcherror
         .when(~F.col("status_code").between(200, 299), "failed")
+        # pre-download header check first (reference aborts on an oversize
+        # Content-Length before any body bytes, crawler.js:≈L1470–1500),
+        # then the streamed-size abort
+        .when(F.col("content_length") > cfg.max_resource_size, "dataerror")
         .when(F.col("body_size") > cfg.max_resource_size, "dataerror")
         .when(~dl_ok, "downloadprevented")
         .when(~mime_ok & ~F.lit(cfg.download_unsupported), "downloadprevented")
         .otherwise("downloaded")
     )
     out = outcomes.withColumn("status", status).withColumn("mime_supported", mime_ok)
+    # P6 `sentIncorrectSize` (crawler.js:≈L1520–1560): the server's header
+    # disagreed with what the stream actually delivered — only observable
+    # when a body was streamed
+    out = out.withColumn(
+        "sent_incorrect_size",
+        (F.col("status") == "downloaded") & F.col("content_length").isNotNull()
+        & (F.col("content_length") != F.col("body_size")))
     event = (
         F.when(F.col("failure") == "timeout", "fetchtimeout")
         .when(F.col("failure") == "clienterror", "fetchclienterror")

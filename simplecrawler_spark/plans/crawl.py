@@ -627,7 +627,8 @@ class CrawlEngine:
                            .withColumn("payload_ok", F.lit(None).cast("boolean")))
             fetched_sel = fetched.select(
                 *QUEUED_COLS, "round_queued", "status", "event", "status_code",
-                "failure", "content_type", "body_size", "image_id", "caption",
+                "failure", "content_type", "body_size", "content_length",
+                "sent_incorrect_size", "image_id", "caption",
                 "request_latency_ms", "download_time_ms", "request_time_ms",
                 "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched",
                 # discovery inputs ride along and are dropped by the writer

@@ -148,6 +148,10 @@ class OracleCrawler:
             return "notfound", "fetch410" if code == 410 else "fetch404", row
         if not 200 <= code <= 299:
             return "failed", "fetcherror", row
+        # header check precedes the streamed-size abort (crawler.js:≈L1470)
+        cl = row.get("content_length")
+        if cl is not None and cl > self.cfg.max_resource_size:
+            return "dataerror", "fetchdataerror", row
         if row["body_size"] is not None and row["body_size"] > self.cfg.max_resource_size:
             return "dataerror", "fetchdataerror", row
         if self.dc and not eval_condition_py({**item, **{k: row[k] for k in

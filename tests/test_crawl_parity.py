@@ -163,7 +163,7 @@ def _mk_web_rows(specs):
             "url_id": i, "url_norm": url, "host": host, "status_code": code,
             "redirect_to": None, "content_type": ct, "links": links,
             "image_id": None, "caption": None, "robots_group": "open",
-            "body_size": 1000, "request_latency_ms": 10.0,
+            "body_size": 1000, "content_length": 1000, "request_latency_ms": 10.0,
             "download_time_ms": 5.0, "request_time_ms": 15.0, "failure": None,
         })
     return rows
@@ -300,3 +300,34 @@ def test_parity_force_true_duplicate(spark, tmp_path):
     assert oresult.seen[f"{h}/p/0"] == 0
     # its child was admitted once, duplicated on the second visit
     assert oresult.events["queueduplicate"] >= 1
+
+
+def test_parity_content_length_header(spark, tmp_path):
+    """P6 completion: an oversize Content-Length header aborts pre-download
+    (dataerror before any body bytes, crawler.js:≈L1470–1500); a lying but
+    in-bounds header streams fine and sets ``sentIncorrectSize``
+    (crawler.js:≈L1520–1560). Engine ≡ oracle."""
+    from simplecrawler_spark.corpus import WEB_SCHEMA
+
+    h = "http://host0.example"
+    rows = _mk_web_rows([
+        (f"{h}/p/0", 200, "text/html", [f"{h}/big", f"{h}/lie"]),
+        (f"{h}/big", 200, "text/html", []),
+        (f"{h}/lie", 200, "text/html", []),
+    ])
+    rows[1]["content_length"] = 32 * 1024 * 1024  # oversize header, small body
+    rows[2]["content_length"] = 400               # header ≠ streamed size
+    web = spark.createDataFrame(rows, WEB_SCHEMA)
+    cfg = CrawlConfig(seeds=[f"{h}/p/0"], budget=16, dedupe_mode="exact",
+                      max_rounds=20, warehouse=str(tmp_path / "wh_cl"))
+    eng = CrawlEngine(spark, cfg, web, robots=None)
+    result = eng.run()
+    oc = OracleCrawler(rows, [], cfg)
+    oresult = oc.run()
+    _assert_parity(spark, result, oresult)
+    log = {r["url_norm"]: r for r in result.fetched_log(spark).collect()}
+    assert log[f"{h}/big"]["status"] == "dataerror"
+    assert log[f"{h}/lie"]["status"] == "downloaded"
+    assert log[f"{h}/lie"]["sent_incorrect_size"] is True
+    assert log[f"{h}/p/0"]["sent_incorrect_size"] is False
+    assert result.events.get("fetchdataerror") == 1
