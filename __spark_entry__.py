@@ -431,10 +431,10 @@ def oracle_sql() -> dict[str, str]:
             " kk AS (SELECT k.* FROM keys k JOIN ok USING (band, bkey)),"
             " cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM kk x"
             "  JOIN kk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),"
-            " cnt AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),"
+            " cnt AS (SELECT doc_id, count(*) AS ng FROM hashed GROUP BY doc_id),"
             " inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c"
-            "  JOIN grams ga ON ga.doc_id = c.a"
-            "  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g GROUP BY c.a, c.b)"
+            "  JOIN hashed ga ON ga.doc_id = c.a"
+            "  JOIN hashed gb ON gb.doc_id = c.b AND gb.h = ga.h GROUP BY c.a, c.b)"
             " SELECT a, b, ROUND(i * 1.0 / (ca.ng + cb.ng - i), 6) AS jaccard"
             " FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b"
             " WHERE ROUND(i * 1.0 / (ca.ng + cb.ng - i), 6) >= 0.5"

@@ -146,13 +146,15 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         # Content-Length header (P6, crawler.js:≈L1470–1560): usually honest,
         # sometimes absent (chunked transfer), sometimes lying — a mismatch
         # with the streamed size sets `sentIncorrectSize`; an oversize header
-        # aborts pre-download (fetchdataerror before any body bytes)
-        clr = rng.random()
-        if clr < 0.02:
+        # aborts pre-download (fetchdataerror before any body bytes).
+        # Derived from url_id (Knuth multiplicative hash), NOT from the rng
+        # stream, so corpora stay draw-identical to pre-content_length rounds.
+        clh = (i * 2654435761) % 1000
+        if clh < 20:
             content_length = None
-        elif clr < 0.03:
+        elif clh < 30:
             content_length = int(body_size * 0.7) + 1
-        elif clr < 0.033:
+        elif clh < 33:
             content_length = 32 * 1024 * 1024
         else:
             content_length = body_size

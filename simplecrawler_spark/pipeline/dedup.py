@@ -28,6 +28,18 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _LOG = logging.getLogger(__name__)
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Small single-file tables arrive as ONE partition (a parquet row group
+    is unsplittable), which serializes every downstream heavy scan onto one
+    core. Repartition up to the session's parallelism when — and only when —
+    the input has fewer partitions; at warehouse scale inputs already carry
+    enough partitions and this is a no-op (no shuffle)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def drop_hot_buckets(df: DataFrame, keys: list[str], cap: int, what: str) -> DataFrame:
     """Cap LSH bucket sizes — the thing that actually kills LSH jobs on real
     web corpora: one degenerate key (empty/boilerplate docs) turns a blocked
@@ -81,6 +93,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
                        num_perm: int = 64, shingle: int = 5, seed: int = 42) -> DataFrame:
     """doc → array<long> MinHash signature. One mapInPandas pass; the k
     permutations apply as one (k × |shingles|) numpy broadcast per doc."""
+    docs = spread_small_input(docs)
     rng = np.random.Generator(np.random.PCG64(seed))
     A = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     B = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -191,8 +204,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
     boilerplate that contributes O(df²) join rows — excluded from BLOCKING
     (both here and in the DuckDB oracle via the same HAVING), which can only
     lose pairs whose every shared gram is boilerplate."""
+    docs = spread_small_input(docs)
     grams = docs.select(
         F.col(id_col).alias("_id"), F.explode(F.expr(_grams_sql(text_col, n))).alias("g"))
+    # shared by counts, the df-filter, and both join sides — persist so the
+    # explode runs once (see minhash_oph_pairs note)
+    grams = grams.persist()
     counts = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
     blocked = grams.join(
         grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -238,11 +255,23 @@ def minhash_oph_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
     :func:`drop_hot_buckets`). Candidates get an exact distinct-gram Jaccard
     verify (gram equi-join restricted to candidate pairs only)."""
     bands = num_buckets // rows_per_band
+    # the gram explode + md5 is the expensive linear scan, and it feeds FOUR
+    # consumers (signatures, per-doc counts, both verify join sides) plus the
+    # hot-bucket stats job — Spark has no cross-branch subtree dedup, so
+    # without a persist each consumer recomputes it (measured ~6× the work
+    # at sf0.1). Persist the HASHED form: gram identity is carried by the
+    # 60-bit md5 prefix everywhere (signature, counts, verify join), so the
+    # cache holds two bigints per row instead of a string, every downstream
+    # join is integer-keyed, and md5 runs exactly once per gram. Both engines
+    # derive h identically, so results match bit-for-bit even under (2^-60)
+    # prefix collisions. MEMORY_AND_DISK: spills, never OOMs at scale.
+    docs = spread_small_input(docs)
     grams = docs.select(
         F.col(id_col).alias("_id"), F.explode(F.expr(_grams_sql(text_col, n))).alias("g"))
     hashed = grams.select(
         "_id",
         F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").alias("h"))
+    hashed = hashed.persist()
     comps = (hashed.groupBy("_id", (F.col("h") % num_buckets).alias("bkt"))
              .agg(F.min("h").alias("mh")))
     keys = (comps.withColumn("band", F.expr(f"bkt div {rows_per_band}"))
@@ -251,16 +280,20 @@ def minhash_oph_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
                 F.transform(F.array_sort(F.collect_list(F.struct("bkt", "mh"))),
                             lambda s: F.concat_ws(":", s["bkt"], s["mh"])),
                 ",").alias("bkey")))
-    keys = drop_hot_buckets(keys, ["band", "bkey"], max_bucket, "minhash_oph_pairs")
+    # persisted: consumed by the hot-bucket stats job, the anti-join, and
+    # both sides of the band self-join
+    keys = drop_hot_buckets(keys.persist(), ["band", "bkey"], max_bucket,
+                            "minhash_oph_pairs")
     ka = keys.select(F.col("_id").alias("a"), "band", "bkey")
     kb = keys.select(F.col("_id").alias("b"), "band", "bkey")
     cand = (ka.join(kb, ["band", "bkey"]).where(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
-    # exact distinct-gram Jaccard on candidates only (verify kernel, built-ins)
-    cnt = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("ng"))
-    ga = grams.select(F.col("_id").alias("a"), "g")
-    gb = grams.select(F.col("_id").alias("b"), "g")
-    inter = (cand.join(ga, "a").join(gb, ["b", "g"])
+    # exact distinct-gram Jaccard on candidates only (verify kernel,
+    # built-ins; gram identity = md5-prefix bigint, see persist note)
+    cnt = hashed.groupBy("_id").agg(F.count(F.lit(1)).alias("ng"))
+    ga = hashed.select(F.col("_id").alias("a"), "h")
+    gb = hashed.select(F.col("_id").alias("b"), "h")
+    inter = (cand.join(ga, "a").join(gb, ["b", "h"])
              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
     jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
     return (inter
@@ -288,6 +321,7 @@ def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (3 - j%4) of hex digit j//4 of md5(g); simhash bit j = 1 iff the ±1 votes
     over distinct grams sum positive. Returns (doc_id, bits array<int>,
     posexploded 16-bit segment values for pigeonhole blocking)."""
+    docs = spread_small_input(docs)
     gbits = ("transform(sequence(0, 63), j -> "
              "2 * (shiftright(cast(conv(substring(hx, cast(j div 4 as int) + 1, 1), 16, 10) "
              "as int), 3 - cast(j % 4 as int)) & 1) - 1)")
@@ -313,7 +347,10 @@ def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3, shingle: int = 5,
     seg = fps.select(
         F.col(id_col).alias("doc_id"), "bits",
         F.posexplode("segs").alias("seg_id", "seg_val"))
-    seg = drop_hot_buckets(seg, ["seg_id", "seg_val"], max_bucket, "simhash_md5_pairs")
+    # the 64-bit vote aggregate is the heavy scan; persist so the stats job
+    # and both self-join sides reuse it (see minhash_oph_pairs note)
+    seg = drop_hot_buckets(seg.persist(), ["seg_id", "seg_val"], max_bucket,
+                           "simhash_md5_pairs")
     a = seg.select(F.col("doc_id").alias("a"), F.col("bits").alias("ba"), "seg_id", "seg_val")
     b = seg.select(F.col("doc_id").alias("b"), F.col("bits").alias("bb"), "seg_id", "seg_val")
     cand = a.join(b, ["seg_id", "seg_val"]).where(F.col("a") < F.col("b"))
@@ -325,6 +362,8 @@ def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3, shingle: int = 5,
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          shingle: int = 4) -> DataFrame:
     """64-bit SimHash: sign of per-bit weighted sums of shingle hashes."""
+
+    docs = spread_small_input(docs)
 
     def fp(batches):
         bitpos = np.arange(64, dtype=np.uint64)
@@ -357,7 +396,8 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3,
             for s in range(4)
         ])).alias("seg_id", "seg_val"),
     )
-    seg = drop_hot_buckets(seg, ["seg_id", "seg_val"], max_bucket, "simhash_pairs")
+    seg = drop_hot_buckets(seg.persist(), ["seg_id", "seg_val"], max_bucket,
+                           "simhash_pairs")
     a = seg.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "seg_id", "seg_val")
     b = seg.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "seg_id", "seg_val")
     cand = a.join(b, ["seg_id", "seg_val"]).where(F.col("a") < F.col("b"))

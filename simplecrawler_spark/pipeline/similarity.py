@@ -49,6 +49,9 @@ def hyperplane_signatures(embeddings: DataFrame, n_bits: int = 8, seed: int = 42
     pure function of (seed, dim) — every executor regenerates them; nothing
     is broadcast."""
 
+    from simplecrawler_spark.pipeline.dedup import spread_small_input
+    embeddings = spread_small_input(embeddings)
+
     def sign(batches):
         H = None
         for pdf in batches:
@@ -113,7 +116,8 @@ def axis_sign_near_dupes(embeddings: DataFrame, threshold: float = 0.98,
         for d in dims])
     e = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
                           bucket.alias("bucket"))
-    e = drop_hot_buckets(e, ["bucket"], max_bucket, "axis_sign_near_dupes")
+    # persisted: the stats job and both self-join sides reuse one scan
+    e = drop_hot_buckets(e.persist(), ["bucket"], max_bucket, "axis_sign_near_dupes")
     a = e.select(F.col(id_col).alias("a"), F.col("_v").alias("va"), "bucket")
     b = e.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"), "bucket")
     cand = a.join(b, "bucket").where(F.col("a") < F.col("b"))
@@ -134,8 +138,10 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.95,
     from simplecrawler_spark.pipeline.dedup import drop_hot_buckets
 
     sigs = hyperplane_signatures(embeddings, n_bits, seed, id_col, vec_col)
-    sigs = drop_hot_buckets(sigs, ["bucket"], max_bucket, "embedding_near_dupes")
-    e = embeddings.join(sigs, id_col)
+    # persisted: the signature pass is a Python UDF scan — one materialization
+    sigs = drop_hot_buckets(sigs.persist(), ["bucket"], max_bucket,
+                            "embedding_near_dupes")
+    e = embeddings.join(sigs, id_col).persist()
     a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
     cand = a.join(b, "bucket").where(F.col("a") < F.col("b"))
