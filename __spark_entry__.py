@@ -208,6 +208,14 @@ def _ann_ivf_topk(spark, sf):
                          k=10, n_centroids=16, nprobe=4)
 
 
+def _ann_axis_topk(spark, sf):
+    from simplecrawler_spark.pipeline.similarity import ann_topk_axis
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_topk_axis(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec],
+                         k=10, n_bits=10, probe_hamming=1)
+
+
 def _minhash_near_dup(spark, sf):
     # one-permutation-hashing variant (md5 gram hashes, pure built-ins):
     # exactly DuckDB-oracled. The seeded-numpy k-permutation banded variant
@@ -254,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_axis_topk": _ann_axis_topk,
         "minhash_near_dup": _minhash_near_dup,
         "simhash_near_dup": _simhash_near_dup,
         "embed_near_dup": _embed_near_dup,
@@ -456,6 +465,21 @@ def oracle_sql() -> dict[str, str]:
             "   ROUND(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 4) AS cosine"
             "  FROM ee x JOIN ee y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) p"
             " WHERE cosine >= 0.98"
+        ),
+        "ann_axis_topk": (
+            # axis-aligned sign-LSH top-k: signature bit i = sign of
+            # coordinate 1+6i (i in 0..9); candidates within Hamming 1 of
+            # the query signature, exact cosine re-rank (4 dp, id tie-break)
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qe, embedding AS qraw"
+            "  FROM embeddings WHERE vec_id = 0)"
+            " SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS DOUBLE), 4) AS cosine"
+            " FROM embeddings e, q WHERE e.vec_id <> 0 AND ("
+            + " + ".join(
+                f"CASE WHEN (e.embedding[{1 + 6 * i}] >= 0) <> (q.qraw[{1 + 6 * i}] >= 0)"
+                " THEN 1 ELSE 0 END"
+                for i in range(10))
+            + ") <= 1"
+            " ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
         # ann_lsh_topk / simhash_near_dup: intentionally rows-only — their
         # hash families (seeded-Gaussian hyperplanes, xxhash-family shingle

@@ -203,3 +203,29 @@ def ivf_flat_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return (cands.select(F.col(id_col), F.round(cos, 4).alias("cosine"))
             .orderBy(F.desc("cosine"), F.col(id_col))
             .limit(k))
+
+
+def ann_topk_axis(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                  dims: list[int] | None = None, n_bits: int = 10,
+                  probe_hamming: int = 1,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via **axis-aligned sign LSH**: signature bit i =
+    sign(vec[dims[i]]); candidates are vectors whose signature is within
+    ``probe_hamming`` bits of the query's (multi-probe), re-ranked by exact
+    cosine. The deterministic, SQL-expressible twin of
+    :func:`ann_topk_lsh` (seeded Gaussian hyperplanes), so the DuckDB
+    oracle verifies bucketing + probing + re-rank end to end.
+
+    Scale shape: signature and Hamming distance are per-row expressions
+    (no join, no shuffle — the query signature is a literal), the Hamming
+    filter prunes ~(1 - (n_bits+1)/2^n_bits) of the scan before any cosine
+    math, and the only wide node is TakeOrdered(k)."""
+    if dims is None:
+        dims = [i * (64 // n_bits) for i in range(n_bits)]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsig = ["1" if q[d] >= 0 else "0" for d in dims]
+    bit = [F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1"))
+           .otherwise(F.lit("0")) for d in dims]
+    ham = sum((bit[i] != F.lit(qsig[i])).cast("int") for i in range(len(dims)))
+    cands = embeddings.where(ham <= F.lit(probe_hamming))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

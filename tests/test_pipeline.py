@@ -280,3 +280,30 @@ def test_video_frame_sample_plumbing(spark):
     assert [r["frame_ok"] for r in by["v3"]] == [False]
     mf = multimodal.video_frame_sample(df, every_n=10, max_frames=2).collect()
     assert sorted(r["frame_idx"] for r in mf if r["media_id"] == "v1") == [0, 10]
+
+
+def test_ann_axis_full_probe_equals_brute_force(spark, embeddings):
+    # probe_hamming == n_bits ⇒ no candidate pruned ⇒ identical to exact
+    df, base = embeddings
+    q = [float(x) for x in base[0]]
+    exact = similarity.cosine_topk(df.where("vec_id != 0"), q, k=5).collect()
+    got = similarity.ann_topk_axis(df.where("vec_id != 0"), q, k=5,
+                                   dims=list(range(0, 16, 2)), n_bits=8,
+                                   probe_hamming=8).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+
+def test_ann_axis_partial_probe(spark, embeddings):
+    df, base = embeddings
+    q = [float(x) for x in base[0]]
+    got = similarity.ann_topk_axis(df.where("vec_id != 0"), q, k=5,
+                                   dims=list(range(0, 16, 2)), n_bits=8,
+                                   probe_hamming=1).collect()
+    cosines = [r["cosine"] for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+    # every candidate really is within hamming 1 of the query signature
+    qs = [1 if base[0][d] >= 0 else 0 for d in range(0, 16, 2)]
+    vecs = {i: base[i] for i in range(1, 40)}
+    for r in got:
+        sig = [1 if vecs[r["vec_id"]][d] >= 0 else 0 for d in range(0, 16, 2)]
+        assert sum(a != b for a, b in zip(sig, qs)) <= 1
