@@ -102,7 +102,7 @@ def main() -> None:
         "j4_fetch_join", "w2_host_budget", "u3_first_wins", "j1_seen_antijoin",
         "a1_queue_stats", "dedup_exact", "text_quality", "lang_id",
         "minhash_near_dup", "simhash_near_dup", "ann_cosine_topk",
-        "ann_ivf_topk",
+        "ann_ivf_topk", "ann_axis_topk",
     ]
     queries = entry_mod.queries()
     for name in headline:
