@@ -110,6 +110,10 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # operators persist() shared subtrees internally; drop them between
+        # queries so one query's cache residue can't evict or measure into
+        # the next (observed 2-3x cross-query timing interference otherwise)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {
