@@ -110,9 +110,12 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        # operators persist() shared subtrees internally; drop them between
-        # queries so one query's cache residue can't evict or measure into
-        # the next (observed 2-3x cross-query timing interference otherwise)
+        # operators persist() shared subtrees internally (registered in
+        # pipeline._PERSISTED); release them between queries so one query's
+        # cache residue can't evict or measure into the next (observed 2-3x
+        # cross-query timing interference otherwise)
+        from simplecrawler_spark.pipeline import release_cached
+        release_cached()
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -113,8 +113,13 @@ def canonicalize_one(
             # resolution. (Private-use codepoint: C0 controls are stripped by
             # urlsplit's WHATWG-style trim, so "\x01" would vanish.)
             _S = "\ue000"
-            absolute = urljoin(base.replace(";", _S), raw.replace(";", _S))
-            absolute = absolute.replace(_S, ";")
+            if (";" in base or ";" in raw) and _S not in base and _S not in raw:
+                absolute = urljoin(base.replace(";", _S), raw.replace(";", _S))
+                absolute = absolute.replace(_S, ";")
+            else:
+                # no ';' to shield \u2014 or the input genuinely contains the
+                # sentinel codepoint, where shielding would corrupt it
+                absolute = urljoin(base, raw)
         else:
             absolute = raw
         parts = urlsplit(absolute)

@@ -18,24 +18,72 @@ Shapes:
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from simplecrawler_spark.pipeline import _persist
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 _LOG = logging.getLogger(__name__)
+
+
+def _scan_file_stats(df: DataFrame, max_files: int = 64) -> tuple[int, int] | None:
+    """(total_bytes, total_rows) of a FILE-BACKED DataFrame's source files,
+    from driver-side metadata only (paths + parquet footers) — no job, no
+    plan execution. Returns None for non-file sources, remote filesystems,
+    or when the file list is large enough that statting it isn't free."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > max_files:
+        return None
+    total_bytes = total_rows = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
+        if not os.path.exists(p):
+            return None
+        total_bytes += os.path.getsize(p)
+        if p.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            try:
+                total_rows += pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                return None
+        else:
+            return None
+    return total_bytes, total_rows
 
 
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Small single-file tables arrive as ONE partition (a parquet row group
     is unsplittable), which serializes every downstream heavy scan onto one
     core. Repartition up to the session's parallelism when — and only when —
-    the input has fewer partitions; at warehouse scale inputs already carry
-    enough partitions and this is a no-op (no shuffle)."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    the source files split into fewer partitions; at warehouse scale inputs
+    already carry enough partitions and this is a no-op (no shuffle).
+
+    The check is pure driver-side file metadata (``inputFiles`` + sizes) —
+    touching ``df.rdd`` here would eagerly run upstream stages under AQE just
+    to learn a partition count. Non-file inputs (in-memory test frames) pass
+    through untouched: parallelize() already spreads them."""
+    stats = _scan_file_stats(df)
+    if stats is None:
+        return df
+    total_bytes, _ = stats
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    digits = raw.rstrip("kmgb")
+    unit = raw[len(digits):].lstrip("0123456789")
+    max_pb = int(digits or "134217728") * mult.get(unit[:1], 1)
+    est_parts = max(1, -(-total_bytes // max_pb))
+    if est_parts < p:
         return df.repartition(p)
     return df
 
@@ -49,8 +97,16 @@ def drop_hot_buckets(df: DataFrame, keys: list[str], cap: int, what: str) -> Dat
     entirely (they are boilerplate, not near-duplicate signal) and the
     dropped mass is LOGGED — never a silent truncation. The count aggregation
     is map-side combinable (cheap); the hot-key set is tiny by construction
-    (≤ |df|/cap keys) so the removal is a broadcast anti-join."""
+    (≤ |df|/cap keys) so the removal is a broadcast anti-join.
+
+    Trivially small inputs skip the stats job entirely: every call site's
+    bucket holds at most one row per source document, so when the source
+    files' parquet footers bound the doc count at ≤ cap, no bucket can be
+    hot — provable from driver-side metadata, zero Spark jobs."""
     if cap is None or cap <= 0:
+        return df
+    stats_meta = _scan_file_stats(df)
+    if stats_meta is not None and stats_meta[1] <= cap:
         return df
     hot = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
            .where(F.col("_n") > cap))
@@ -209,7 +265,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
         F.col(id_col).alias("_id"), F.explode(F.expr(_grams_sql(text_col, n))).alias("g"))
     # shared by counts, the df-filter, and both join sides — persist so the
     # explode runs once (see minhash_oph_pairs note)
-    grams = grams.persist()
+    grams = _persist(grams)
     counts = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
     blocked = grams.join(
         grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -271,7 +327,7 @@ def minhash_oph_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
     hashed = grams.select(
         "_id",
         F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").alias("h"))
-    hashed = hashed.persist()
+    hashed = _persist(hashed)
     comps = (hashed.groupBy("_id", (F.col("h") % num_buckets).alias("bkt"))
              .agg(F.min("h").alias("mh")))
     keys = (comps.withColumn("band", F.expr(f"bkt div {rows_per_band}"))
@@ -282,7 +338,7 @@ def minhash_oph_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
                 ",").alias("bkey")))
     # persisted: consumed by the hot-bucket stats job, the anti-join, and
     # both sides of the band self-join
-    keys = drop_hot_buckets(keys.persist(), ["band", "bkey"], max_bucket,
+    keys = drop_hot_buckets(_persist(keys), ["band", "bkey"], max_bucket,
                             "minhash_oph_pairs")
     ka = keys.select(F.col("_id").alias("a"), "band", "bkey")
     kb = keys.select(F.col("_id").alias("b"), "band", "bkey")
@@ -349,7 +405,7 @@ def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3, shingle: int = 5,
         F.posexplode("segs").alias("seg_id", "seg_val"))
     # the 64-bit vote aggregate is the heavy scan; persist so the stats job
     # and both self-join sides reuse it (see minhash_oph_pairs note)
-    seg = drop_hot_buckets(seg.persist(), ["seg_id", "seg_val"], max_bucket,
+    seg = drop_hot_buckets(_persist(seg), ["seg_id", "seg_val"], max_bucket,
                            "simhash_md5_pairs")
     a = seg.select(F.col("doc_id").alias("a"), F.col("bits").alias("ba"), "seg_id", "seg_val")
     b = seg.select(F.col("doc_id").alias("b"), F.col("bits").alias("bb"), "seg_id", "seg_val")
@@ -396,7 +452,7 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3,
             for s in range(4)
         ])).alias("seg_id", "seg_val"),
     )
-    seg = drop_hot_buckets(seg.persist(), ["seg_id", "seg_val"], max_bucket,
+    seg = drop_hot_buckets(_persist(seg), ["seg_id", "seg_val"], max_bucket,
                            "simhash_pairs")
     a = seg.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "seg_id", "seg_val")
     b = seg.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "seg_id", "seg_val")

@@ -147,6 +147,11 @@ def _decode_video_frames(b: bytes) -> np.ndarray:
     w = int.from_bytes(b[8:10], "big")
     h = int.from_bytes(b[10:12], "big")
     body = np.frombuffer(b, dtype=np.uint8, offset=12)
+    if len(body) != n * h * w * 3:
+        # truncated/corrupt container (header inconsistent with body length):
+        # must surface as an undecodable payload, not a task-killing reshape
+        # error — video_frame_sample turns this into a frame_ok=false row
+        raise NotImplementedError("corrupt VID0 container: header/body length mismatch")
     return body.reshape(n, h, w, 3)
 
 

@@ -17,6 +17,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from simplecrawler_spark.pipeline import _persist
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -117,7 +119,7 @@ def axis_sign_near_dupes(embeddings: DataFrame, threshold: float = 0.98,
     e = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
                           bucket.alias("bucket"))
     # persisted: the stats job and both self-join sides reuse one scan
-    e = drop_hot_buckets(e.persist(), ["bucket"], max_bucket, "axis_sign_near_dupes")
+    e = drop_hot_buckets(_persist(e), ["bucket"], max_bucket, "axis_sign_near_dupes")
     a = e.select(F.col(id_col).alias("a"), F.col("_v").alias("va"), "bucket")
     b = e.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"), "bucket")
     cand = a.join(b, "bucket").where(F.col("a") < F.col("b"))
@@ -139,9 +141,9 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.95,
 
     sigs = hyperplane_signatures(embeddings, n_bits, seed, id_col, vec_col)
     # persisted: the signature pass is a Python UDF scan — one materialization
-    sigs = drop_hot_buckets(sigs.persist(), ["bucket"], max_bucket,
+    sigs = drop_hot_buckets(_persist(sigs), ["bucket"], max_bucket,
                             "embedding_near_dupes")
-    e = embeddings.join(sigs, id_col).persist()
+    e = _persist(embeddings.join(sigs, id_col))
     a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
     cand = a.join(b, "bucket").where(F.col("a") < F.col("b"))
@@ -181,9 +183,16 @@ def ivf_flat_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt(q @ q))
+    # half-away-from-zero rounding to match F.round / DuckDB ROUND exactly —
+    # Python's round() is banker's rounding and could probe a different cell
+    # on an exact 6-dp tie in centroid-query cosine
+    def _r6(x: float) -> float:
+        from decimal import ROUND_HALF_UP, Decimal
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
     probe_ids = [cid for cid, _ in sorted(
         codebook,
-        key=lambda c: (-round(float(c[1] @ q) / (float(np.sqrt(c[1] @ c[1])) * qn), 6),
+        key=lambda c: (-_r6(float(c[1] @ q) / (float(np.sqrt(c[1] @ c[1])) * qn)),
                        c[0]))[:nprobe]]
 
     v = F.col(vec_col).cast("array<double>")

@@ -120,3 +120,17 @@ def test_hypothesis_idempotence():
             assert canonicalize_one(url, None) == url
 
     prop()
+
+
+def test_sentinel_codepoint_survives_resolution():
+    # a base/ref genuinely containing U+E000 must not be corrupted by the
+    # ';'-shielding sentinel; shielding is skipped when the codepoint occurs
+    from simplecrawler_spark.functions.canonicalize import canonicalize_one
+
+    u = canonicalize_one("xy", "http://a.com/p/")
+    assert u == "http://a.com/p/xy"
+    # and ';' paths still resolve per RFC 3986 when no sentinel collision
+    assert canonicalize_one("b;v=1", "http://a.com/p/") == "http://a.com/p/b;v=1"
+    # mixed case: input has BOTH ';' and U+E000 — plain urljoin path; the
+    # ';' may fall to urlparse's legacy params handling but nothing crashes
+    assert canonicalize_one("c;x", "http://a.com/p/") is not None

@@ -307,3 +307,33 @@ def test_ann_axis_partial_probe(spark, embeddings):
     for r in got:
         sig = [1 if vecs[r["vec_id"]][d] >= 0 else 0 for d in range(0, 16, 2)]
         assert sum(a != b for a, b in zip(sig, qs)) <= 1
+
+
+def test_video_corrupt_container_is_poison_pill(spark):
+    # valid magic but header inconsistent with body length: must yield a
+    # frame_ok=false row, not a task-killing reshape error
+    rng = np.random.Generator(np.random.PCG64(10))
+    vid = rng.integers(0, 256, size=(5, 4, 4, 3)).astype(np.uint8)
+    good = multimodal.pack_video(vid)
+    truncated = good[: len(good) - 7]
+    lying_header = good[:4] + (99).to_bytes(4, "big") + good[8:]
+    rows = [("ok", bytearray(good)), ("trunc", bytearray(truncated)),
+            ("lying", bytearray(lying_header))]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    out = multimodal.video_frame_sample(df, every_n=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], []).append(r["frame_ok"])
+    assert all(by["ok"]) and len(by["ok"]) == 5
+    assert by["trunc"] == [False]
+    assert by["lying"] == [False]
+
+
+def test_release_cached_registry(spark, docs):
+    from simplecrawler_spark import pipeline as pl
+
+    pl.release_cached()  # drain anything earlier tests left behind
+    dedup.minhash_oph_pairs(docs, threshold=0.5).collect()
+    n = pl.release_cached()
+    assert n >= 1  # the gram-hash scan persist was registered and released
+    assert pl.release_cached() == 0
