@@ -77,9 +77,14 @@ def _w2_host_budget(spark, sf):
 
 
 def _j1_seen_antijoin(spark, sf):
+    # the "seen" side excludes custkeys ≡ 0 (mod 3), so every such customer
+    # with orders survives the anti-join — the result is GUARANTEED non-empty
+    # at every sf (plain customers-without-orders is empty at small sf, which
+    # made round 1–2's check vacuously green: 0 rows proves only schema)
     c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
-    return c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti") \
-            .select("c_custkey")
+    seen = (o.where(F.col("o_custkey") % 3 != 0)
+            .select(F.col("o_custkey").alias("c_custkey")))
+    return c.join(seen, "c_custkey", "left_anti").select("c_custkey")
 
 
 def _u3_first_wins(spark, sf):
@@ -235,7 +240,11 @@ def _embed_near_dup(spark, sf):
     # DuckDB-oracled. The Gaussian-hyperplane variant (embedding_near_dupes)
     # stays pytest-pinned — seeded-numpy hyperplanes have no SQL twin.
     from simplecrawler_spark.pipeline.similarity import axis_sign_near_dupes
-    return axis_sign_near_dupes(_t(spark, sf, "embeddings"), threshold=0.98, n_bits=10)
+    # threshold 0.3: the driver's embeddings are near-isotropic (max pairwise
+    # cosine ≈ 0.51, no planted dups), so 0.98 returned ZERO pairs at every
+    # sf — a vacuously-green oracle. 0.3 yields pairs at sf0.001 AND sf0.01,
+    # so bucketing + cosine + threshold are all value-checked on real rows.
+    return axis_sign_near_dupes(_t(spark, sf, "embeddings"), threshold=0.3, n_bits=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -289,7 +298,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "j1_seen_antijoin": (
             "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
-            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+            " AND o.o_custkey % 3 <> 0)"
         ),
         "j2_broadcast_lookup": (
             "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey"
@@ -451,7 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": (
             # axis-aligned sign LSH: bit i = sign(embedding[1 + 6*i]) for
             # i in 0..9 (64-dim vectors), bucket = 10-char bit string capped
-            # at 4096 members; exact float64 cosine >= 0.98 inside buckets,
+            # at 4096 members; exact float64 cosine >= 0.3 inside buckets
+            # (see _embed_near_dup for why 0.3: guaranteed-non-empty check),
             # rounded to 4 decimals before the compare on both engines.
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
             "  concat(" + ", ".join(
@@ -464,7 +475,7 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT x.vec_id AS a, y.vec_id AS b,"
             "   ROUND(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 4) AS cosine"
             "  FROM ee x JOIN ee y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) p"
-            " WHERE cosine >= 0.98"
+            " WHERE cosine >= 0.3"
         ),
         "ann_axis_topk": (
             # axis-aligned sign-LSH top-k: signature bit i = sign of

@@ -73,6 +73,33 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
+# Recorded value-hashes for the two rows-only entries (seeded-numpy hash
+# families with no SQL twin). They are fully deterministic functions of the
+# fixed testdata + seed, so any silent change to the hyperplane generation,
+# banding, or verify math breaks these pins even without a DuckDB oracle.
+_PINNED = {
+    ("/root/testdata/sf0.001", "ann_lsh_topk"): (10, "d45f4fffab8f1ffc01367afc2daea209"),
+    ("/root/testdata/sf0.001", "simhash_near_dup"): (495, "b813a59ce761e57f7e08f3e3821739dc"),
+    ("/root/testdata/sf0.01", "ann_lsh_topk"): (10, "7bdf9386875004804064081a25097032"),
+    ("/root/testdata/sf0.01", "simhash_near_dup"): (626, "5203ea9581216fc1e008d7ca54d07d6d"),
+}
+
+
+@pytest.mark.parametrize("sf_dir,name", sorted(_PINNED))
+def test_rows_only_value_hash_pinned(spark, sf_dir, name):
+    import hashlib
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    df = entry_mod.queries()[name](spark, sf_dir)
+    cols = sorted(df.columns)
+    idx = [df.columns.index(c) for c in cols]
+    rows = sorted(tuple(_norm(r[i]) for i in idx) for r in df.collect())
+    h = hashlib.md5(repr(rows).encode()).hexdigest()
+    want_n, want_h = _PINNED[(sf_dir, name)]
+    assert (len(rows), h) == (want_n, want_h), f"{name}@{sf_dir}: rows={len(rows)} hash={h}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
