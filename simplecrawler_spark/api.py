@@ -164,24 +164,28 @@ class Crawler:
         m = self.result.warehouse.load_manifest(self.result.rounds)
         return int(m["queued"]) + self._fetched().count()
 
-    def count_items(self, comparator: dict) -> int:
+    @staticmethod
+    def _apply_comparator(df: DataFrame, comparator: dict) -> DataFrame:
         """A2 — recursive subset-match comparator → conjunctive equality
-        filter (nested ``stateData`` fields map to top-level state columns)."""
-        df = self._fetched()
+        filter. Nested ``stateData`` fields map to top-level state columns;
+        a doubly-nested dict (``{"stateData": {"headers": {"content-type":
+        ...}}}``) indexes into the MapType ``headers`` column (D2;
+        ``queue.js:≈L265–330`` compares into received headers the same
+        way)."""
         for k, v in comparator.items():
             if isinstance(v, dict):
                 for k2, v2 in v.items():
-                    df = df.where(F.col(k2) == v2)
-            else:
-                df = df.where(F.col(k) == v)
-        return df.count()
-
-    def filter_items(self, comparator: dict) -> DataFrame:
-        df = self._fetched()
-        for k, v in comparator.items():
-            if isinstance(v, dict):
-                for k2, v2 in v.items():
-                    df = df.where(F.col(k2) == v2)
+                    if isinstance(v2, dict):
+                        for k3, v3 in v2.items():
+                            df = df.where(F.col(k2)[k3] == v3)
+                    else:
+                        df = df.where(F.col(k2) == v2)
             else:
                 df = df.where(F.col(k) == v)
         return df
+
+    def count_items(self, comparator: dict) -> int:
+        return self._apply_comparator(self._fetched(), comparator).count()
+
+    def filter_items(self, comparator: dict) -> DataFrame:
+        return self._apply_comparator(self._fetched(), comparator)

@@ -49,6 +49,11 @@ class CrawlConfig:
                                  r"(?i)^application/javascript", r"(?i)^xml"]
     )
     download_unsupported: bool = True      # downloadUnsupported
+    # link discovery source (F2): "table" reads the corpus's pre-extracted
+    # links array; "html" runs the reference's regex discovery over raw
+    # response bodies (F7 decompress → F6 charset decode → F2 regexes) inside
+    # the round's job — the discoverResources hot path, crawler.js:≈L900–950
+    discovery_mode: str = "table"
     # F7/F6 response-body handling (real-fetch + HTML-discovery seams;
     # table-mode corpora store decoded bodies): functions/body.py
     decompress_responses: bool = True      # decompressResponses (crawler.js:≈L1560)
@@ -57,6 +62,12 @@ class CrawlConfig:
     # whose extension implies a whitelisted MIME may exceed maxDepth — by any
     # amount (True) or by at most N extra levels (int). False = plain gate.
     fetch_whitelisted_mime_below_max_depth: bool | int = False
+
+    # cache + conditional GET (reference `cache` option, S6/J3): re-fetched
+    # URLs carry If-None-Match from the cache view over the fetched log; an
+    # ETag match turns the fetch into a 304/`notmodified` that reuses the
+    # cached payload ref (crawler.js:≈L1160–1200, ≈L1360)
+    use_cache: bool = False
 
     # --- robots ---
     respect_robots_txt: bool = True        # respectRobotsTxt
@@ -67,6 +78,11 @@ class CrawlConfig:
 
     # --- scheduling (Appendix C: BSP round == reference tick-batch) ---
     budget: int = 4096                     # global fetch budget per round (maxConcurrency analog)
+    # W3 — reference `interval` (crawler.js:≈L660): one fetch start per tick.
+    # BSP analog: a round of B fetches represents B ticks → the round pacer
+    # sleeps to n_batch × interval wall-time (operators/pacing.py). 0 = off
+    # (throughput posture; the reference's default 250 would cap at 4/s).
+    interval_ms: float = 0.0
     host_budget: int = 0                   # per-host per-round cap; 0 = no per-host cap (reference parity)
     max_rounds: int = 10_000               # runaway backstop
     honor_crawl_delay: bool = False        # north_rule politeness: robots Crawl-delay
@@ -91,6 +107,13 @@ class CrawlConfig:
 
     # --- storage ---
     warehouse: str = ""                    # snapshot root dir; empty = in-memory only (no resume)
+    # tiered delta compaction (storage/compaction.py): every K rounds the
+    # deltas since the last level merge into one compact dir (ONE file per
+    # seen bucket); levels beyond compact_max_levels trigger a major rewrite.
+    # Bounds every reader's file set at len(levels)+K dirs instead of
+    # O(rounds). 0 disables (delta-only layout).
+    compact_every: int = 16
+    compact_max_levels: int = 8
     seed_force: bool = False               # A.7
     # force=true TRUE-duplicate semantics (queue.js:≈L90): force-queued URLs
     # skip the seen-check and enqueue even when the URL is already queued —

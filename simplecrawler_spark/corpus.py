@@ -65,6 +65,69 @@ def _caption(rng: np.random.Generator, i: int) -> str:
     return f"{_ADJ[rng.integers(10)]} {_NOUN[rng.integers(10)]} {i}"
 
 
+def render_html_body(i: int, links: list[str], charset: str = "utf-8") -> bytes:
+    """Render a page's link list into a real HTML body for the HTML-discovery
+    path (F2 over raw bodies, ``discoverResources`` crawler.js:≈L900–950).
+    Wrapper styles rotate deterministically from (url_id, link_idx) — NOT
+    from the rng stream, so corpora stay draw-identical to body-less rounds.
+    The regex discovery pipeline recovers these links (plus benign duplicate
+    matches across regexes that in-page first-wins dedupe collapses)."""
+    title = "páge" if charset != "utf-8" else "page"
+    parts = [f'<html><head><meta charset="{charset}"><title>{title} {i}</title>'
+             "</head><body>"]
+    for k, u in enumerate(links):
+        st = (i * 31 + k * 7) % 6
+        if st == 0:
+            parts.append(f'<a href="{u}">link{k}</a>')
+        elif st == 1:
+            parts.append(f"<img src='{u}'>")
+        elif st == 2:
+            parts.append(f'<div style="background:url({u})"></div>')
+        elif st == 3 and u and " " not in u:
+            parts.append(f"<a href={u}>x</a>")  # unquoted attribute
+        elif st == 4:
+            parts.append(f'<!-- todo <a href="{u}">c</a> -->')  # comment link
+        else:
+            parts.append(f'<a href="{u}">y</a>')
+    parts.append("<script>var x = 1;</script></body></html>")
+    return "\n".join(parts).encode(charset, errors="replace")
+
+
+def body_encoding_of(i: int) -> tuple[str | None, bool, str]:
+    """(content_encoding, corrupt, charset) for url_id ``i`` — deterministic
+    integer hash, no rng draws. ~5% of gzip bodies are truncated mid-stream
+    (the reference's ``gziperror`` path, crawler.js:≈L1560)."""
+    h = (i * 2654435761) % 100
+    charset = "iso-8859-1" if (i * 40503) % 17 == 0 else "utf-8"
+    if h < 55:
+        return None, False, charset
+    if h < 80:
+        return "gzip", False, charset
+    if h < 90:
+        return "deflate", False, charset
+    if h < 93:
+        return "gzip", True, charset
+    return None, False, charset
+
+
+def make_body(i: int, links: list[str]) -> tuple[bytes | None, str | None]:
+    """(body, content_encoding) for an HTML page — compressed per
+    :func:`body_encoding_of`; corrupt rows get a truncated gzip stream."""
+    import zlib
+
+    enc, corrupt, charset = body_encoding_of(i)
+    raw = render_html_body(i, links, charset)
+    if enc == "gzip":
+        co = zlib.compressobj(wbits=zlib.MAX_WBITS | 16)
+        data = co.compress(raw) + co.flush()
+        if corrupt:
+            data = data[: max(len(data) // 2, 4)]
+        return data, "gzip"
+    if enc == "deflate":
+        return zlib.compress(raw), "deflate"
+    return raw, None
+
+
 def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
     """Pure function (seed, ids) → web rows. Shared by the pandas unit path
     and the Spark mapInPandas path."""
@@ -171,18 +234,26 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
         # deterministic per-URL latencies — what a real fetch would time
         request_latency = round(float(rng.uniform(5.0, 400.0)), 3)
         download_time = round(body_size / 1024.0 / float(rng.uniform(2.0, 20.0)), 3)
+        # raw HTML body + transfer coding for the HTML-discovery mode (F2/F6/
+        # F7 in the hot path); derived without rng draws — table-mode corpora
+        # are unchanged, and column pruning keeps table-mode scans body-free
+        if code == 200 and content_type.lower() == "text/html":
+            body, content_encoding = make_body(i, links)
+        else:
+            body, content_encoding = None, None
         rows.append(
             (i, url, host_name(h), code, redirect_to, content_type, links,
              image_id, caption, grp, body_size, content_length,
              request_latency, download_time, round(request_latency + download_time, 3),
-             failure)
+             failure, body, content_encoding)
         )
     return pd.DataFrame(
         rows,
         columns=["url_id", "url_norm", "host", "status_code", "redirect_to",
                  "content_type", "links", "image_id", "caption", "robots_group", "body_size",
                  "content_length",
-                 "request_latency_ms", "download_time_ms", "request_time_ms", "failure"],
+                 "request_latency_ms", "download_time_ms", "request_time_ms", "failure",
+                 "body", "content_encoding"],
     )
 
 
@@ -250,7 +321,7 @@ WEB_SCHEMA = (
     "content_type string, links array<string>, image_id string, caption string, "
     "robots_group string, body_size long, content_length long, "
     "request_latency_ms double, download_time_ms double, request_time_ms double, "
-    "failure string"
+    "failure string, body binary, content_encoding string"
 )
 IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
 

@@ -39,18 +39,39 @@ def cache_delta_from_fetched(fetched: DataFrame, rnd: int) -> DataFrame:
 
 def with_conditional_headers(batch: DataFrame, cache: DataFrame | None) -> DataFrame:
     """J3 — annotate a fetch batch with cached etag/last_modified (the
-    If-None-Match analog). Batch side is small → broadcast; latest cache
-    entry per url wins."""
+    If-None-Match analog). The (huge) cache side is FIRST semi-joined down to
+    the batch's url_hashes (broadcast of the small batch keys — one pruned
+    scan, no shuffle of the cache), THEN the latest-entry window runs on the
+    batch-sized survivor set, THEN the result broadcasts back onto the
+    batch. At no point does the full cache shuffle."""
     if cache is None:
         return (batch.withColumn("cached_etag", F.lit(None).cast("string"))
                 .withColumn("cached_ref", F.lit(None).cast("string")))
     from pyspark.sql import Window
+    cand = cache.join(F.broadcast(batch.select("url_hash").distinct()), "url_hash")
     w = Window.partitionBy("url_hash").orderBy(F.desc("round_cached"))
-    latest = (cache.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    latest = (cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
               .select("url_hash", F.col("etag").alias("cached_etag"),
                       F.col("payload_ref").alias("cached_ref")))
-    return batch.join(F.broadcast(latest.join(
-        F.broadcast(batch.select("url_hash")), "url_hash")), "url_hash", "left")
+    return batch.join(F.broadcast(latest), "url_hash", "left")
+
+
+def cache_from_fetched_log(fetched: DataFrame) -> DataFrame:
+    """Derive the conditional-GET cache relation from the fetched log itself
+    — the cache is a VIEW, not a second table: every downloaded row is a
+    cache entry whose ETag is the deterministic payload identity (table-mode
+    stand-in for the server's header; the reference stores it verbatim in
+    ``cacheindex.json``, lib/cache-backend-fs.js:≈L60). No extra write path,
+    no extra consistency surface; compaction bounds the read set."""
+    d = fetched.where(F.col("status") == "downloaded")
+    return d.select(
+        "url_hash",
+        F.md5(F.concat_ws("|", "url_norm", F.coalesce(F.col("image_id"), F.lit("")),
+                          F.col("body_size").cast("string"))).alias("etag"),
+        F.col("round_fetched").cast("long").alias("last_modified"),
+        F.coalesce(F.col("image_id"), F.col("url_norm")).alias("payload_ref"),
+        F.col("round_fetched").cast("int").alias("round_cached"),
+    )
 
 
 def resolve_not_modified(outcomes: DataFrame) -> DataFrame:

@@ -171,6 +171,21 @@ def save_sidecars(root: str, bucket: int, bits: np.ndarray, table: np.ndarray) -
 
 # ---------------- Spark-side operators ----------------
 
+def arrow_schema_for(spark_schema) -> "pyarrow.Schema":
+    """Explicit Arrow schema for pyarrow writes of engine tables — an
+    all-null column (seed rows' referrer) would otherwise be inferred as the
+    Arrow null type and break schema merging across files."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import BooleanType, DoubleType, IntegerType, LongType, StringType
+
+    _pa = {LongType(): pa.int64(), IntegerType(): pa.int32(),
+           StringType(): pa.string(), DoubleType(): pa.float64(),
+           BooleanType(): pa.bool_()}
+    return pa.schema([(f.name, _pa.get(f.dataType, pa.string()))
+                      for f in spark_schema])
+
+
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
 
@@ -254,44 +269,55 @@ def register_new(
     pruned) and the url_seen table (read by the exact dedupe tier, column-
     pruned to url_hash) — the reference's queue and ``_scanIndex`` share
     entries the same way (``lib/queue.js:≈L90–145``). Idempotent under task
-    retry (bit-OR / slot-insert / file overwrite)."""
+    retry (bit-OR / slot-insert / file overwrite).
+
+    Arrow-native: ``repartition(bucket) + mapInArrow`` instead of
+    ``groupBy().applyInPandas`` — no sort-based grouping, no Arrow→pandas→
+    Arrow round trip (this pass was ~5 s of the per-round serial floor in
+    the round-2 profile). Hash partitioning sends each bucket value to
+    exactly ONE task, preserving single-writer sidecar exclusivity; a task
+    that receives several buckets handles them per-bucket."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     bloom_bytes, k, nb = sidecar_params(seen_capacity, n_buckets, bits_per_key)
     delta = with_bucket(new_df, n_buckets) if "bucket" not in new_df.columns else new_df
     data_cols = [c for c in delta.columns if c != "bucket"]
-    # explicit Arrow schema — an all-null column (seed rows' referrer) would
-    # otherwise be inferred as the Arrow null type and break schema merging
-    from pyspark.sql.types import IntegerType, LongType, StringType
 
-    _pa = {LongType(): pa.int64(), IntegerType(): pa.int32(), StringType(): pa.string()}
-    file_schema = pa.schema(
-        [(f.name, _pa.get(f.dataType, pa.string())) for f in delta.schema if f.name != "bucket"]
-    )
+    def update_stream(batches):
+        import pyarrow.parquet as pq
 
-    def update(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(key[0])
-        h = pdf["url_hash"].to_numpy()
-        bits, table = load_sidecars(warehouse_root, bucket, bloom_bytes, nb)
-        bloom_add(bits, h, k)
-        if not cuckoo_add(table, h):
-            raise RuntimeError(
-                f"cuckoo sidecar bucket={bucket} overflow — raise seen_capacity"
-            )
-        save_sidecars(warehouse_root, bucket, bits, table)
-        bdir = os.path.join(seen_round_dir, f"bucket={bucket}")
-        os.makedirs(bdir, exist_ok=True)
-        out = os.path.join(bdir, "part-0.parquet")
-        tmp = out + f".tmp{os.getpid()}"
-        pq.write_table(
-            pa.Table.from_pandas(pdf[data_cols], schema=file_schema, preserve_index=False), tmp)
-        os.replace(tmp, out)
-        return pd.DataFrame({"bucket": [bucket], "n": [len(h)]})
+        per: dict[int, list] = {}
+        for b in batches:
+            buckets = b.column("bucket").to_numpy(zero_copy_only=False)
+            for bu in np.unique(buckets):
+                per.setdefault(int(bu), []).append(
+                    b.filter(pa.array(buckets == bu)))
+        out_b, out_n = [], []
+        for bu, blist in per.items():
+            tbl = pa.Table.from_batches(blist).select(data_cols).sort_by("seq")
+            h = tbl.column("url_hash").to_numpy()
+            bits, table = load_sidecars(warehouse_root, bu, bloom_bytes, nb)
+            bloom_add(bits, h, k)
+            if not cuckoo_add(table, h):
+                raise RuntimeError(
+                    f"cuckoo sidecar bucket={bu} overflow — raise seen_capacity")
+            save_sidecars(warehouse_root, bu, bits, table)
+            bdir = os.path.join(seen_round_dir, f"bucket={bu}")
+            os.makedirs(bdir, exist_ok=True)
+            out = os.path.join(bdir, "part-0.parquet")
+            tmp = out + f".tmp{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, out)
+            out_b.append(bu)
+            out_n.append(len(h))
+        if out_b:
+            yield pa.RecordBatch.from_pydict(
+                {"bucket": pa.array(out_b, pa.int32()),
+                 "n": pa.array(out_n, pa.int64())})
 
     (
-        delta.groupBy("bucket")
-        .applyInPandas(update, schema="bucket int, n long")
+        delta.repartition(n_buckets, F.col("bucket"))
+        .mapInArrow(update_stream, schema="bucket int, n long")
         .collect()
     )
     # _SUCCESS marker so Spark's recursive reads treat the dir normally
@@ -299,21 +325,21 @@ def register_new(
     open(os.path.join(seen_round_dir, "_SUCCESS"), "w").close()
 
 
-def rebuild_sidecars(spark, warehouse_root: str, seen_paths: list[str],
+def rebuild_sidecars(spark, warehouse_root: str, seen: DataFrame | None,
                      n_buckets: int, seen_capacity: int, bits_per_key: int) -> None:
-    """Resume path: reconstruct all sidecars from committed seen deltas
-    (crash between sidecar update and manifest commit leaves stale bits —
-    rebuilding restores exactness; see snapshots.py docstring)."""
+    """Resume path: reconstruct all sidecars from the committed seen table
+    (compacted levels + deltas — caller passes the union read; crash between
+    sidecar update and manifest commit leaves stale bits — rebuilding
+    restores exactness; see snapshots.py docstring)."""
     import shutil
 
     scdir = os.path.join(warehouse_root, "sidecars")
     if os.path.isdir(scdir):
         shutil.rmtree(scdir)
     os.makedirs(scdir, exist_ok=True)
-    if not seen_paths:
+    if seen is None:
         return
     bloom_bytes, k, nb = sidecar_params(seen_capacity, n_buckets, bits_per_key)
-    seen = spark.read.option("basePath", os.path.dirname(seen_paths[0])).parquet(*seen_paths)
 
     def update(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])

@@ -35,10 +35,12 @@ WEB_COLS = ["url_norm", "status_code", "redirect_to", "content_type", "links",
 # types for columns optional on the web table (older corpora / hand fixtures)
 _OPTIONAL_COL_TYPES = {"content_length": "long",
                        "request_latency_ms": "double", "download_time_ms": "double",
-                       "request_time_ms": "double", "failure": "string"}
+                       "request_time_ms": "double", "failure": "string",
+                       "body": "binary", "content_encoding": "string"}
 
 
-def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None) -> DataFrame:
+def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None,
+                extra_cols: list[str] | None = None) -> DataFrame:
     """batch ⋈ web (left outer in effect): broadcast the batch side when it
     is genuinely small (driver collect + rebroadcast is per-round *serial*
     time), otherwise let AQE pick a shuffled join from runtime stats.
@@ -50,13 +52,17 @@ def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None)
     # costs more total work but all of it scales with executors.
     b = F.broadcast(batch) if (batch_rows is None or batch_rows <= 100_000) else batch
     # telemetry/failure columns are optional on the web table (older corpora /
-    # hand-built fixtures): absent ones surface as nulls
+    # hand-built fixtures): absent ones surface as nulls. ``extra_cols``
+    # (e.g. raw body + content_encoding in HTML-discovery mode) are selected
+    # only when the caller needs them — table mode never pays for the body
+    # bytes thanks to parquet column pruning.
+    cols = WEB_COLS + [c for c in (extra_cols or []) if c not in WEB_COLS]
     wsel = [F.col(c) if c in web.columns
             else F.lit(None).cast(_OPTIONAL_COL_TYPES[c]).alias(c)
-            for c in WEB_COLS]
+            for c in cols]
     hits = web.select(*wsel).join(b, "url_norm")
     misses = batch.join(hits.select("url_norm"), "url_norm", "left_anti")
-    for c in WEB_COLS[1:]:
+    for c in cols[1:]:
         misses = misses.withColumn(c, F.lit(None).cast(hits.schema[c].dataType))
     return hits.withColumn("found", F.lit(True)).unionByName(
         misses.withColumn("found", F.lit(False))
@@ -70,6 +76,20 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
     for pat in cfg.supported_mime_types:
         mime_ok = mime_ok | F.coalesce(F.col("content_type"), F.lit("")).rlike(pat)
     dl_ok = condition_col(outcomes.columns, download_conditions or [])
+    # conditional GET (J3/S6): when the batch carries a cached ETag and it
+    # matches the resource's CURRENT payload identity, the server answers
+    # 304 instead of 200 — table mode computes the identity the same way
+    # cache_from_fetched_log does, so "content unchanged" ⇔ "etag match",
+    # exactly the If-None-Match contract (crawler.js:≈L1160–1200, ≈L1360)
+    if "cached_etag" in outcomes.columns:
+        server_etag = F.md5(F.concat_ws(
+            "|", "url_norm", F.coalesce(F.col("image_id"), F.lit("")),
+            F.col("body_size").cast("string")))
+        etag_match = (F.col("cached_etag").isNotNull()
+                      & (F.col("cached_etag") == server_etag)
+                      & F.col("status_code").between(200, 299))
+    else:
+        etag_match = F.lit(False)
     status = (
         F.when(~F.col("found"), "failed")
         # transport failures: the request never completed, so no response
@@ -77,6 +97,7 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
         # `fetchtimeout` / `fetchclienterror` (crawler.js:≈L1250–1320)
         .when(F.col("failure").isNotNull(), "failed")
         .when(F.col("status_code") == 304, "notmodified")
+        .when(etag_match, "notmodified")
         # any 3xx with a Location is a redirect (handleResponse,
         # crawler.js:≈L1390–1430) — 301/302/303/307/308 alike
         .when(F.col("status_code").between(300, 399) & F.col("redirect_to").isNotNull(),
@@ -113,7 +134,18 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
         .when(F.col("status") == "downloadprevented", "downloadprevented")
         .otherwise("fetchcomplete")
     )
-    return out.withColumn("event", event)
+    out = out.withColumn("event", event)
+    # S6: a 304 with a cache hit serves the cached payload — the reference's
+    # `notmodified` handler calls cache.getCacheData (crawler.js:≈L1360);
+    # without a cached entry the row stays notmodified with a null ref (the
+    # same cache-miss-on-304 corner the reference has)
+    if "cached_ref" in out.columns:
+        out = out.withColumn(
+            "payload_ref",
+            F.when(F.col("status") == "notmodified", F.col("cached_ref")))
+    else:
+        out = out.withColumn("payload_ref", F.lit(None).cast("string"))
+    return out
 
 
 PAYLOAD_SCHEMA = (
@@ -211,11 +243,14 @@ def build_request_headers(batch: DataFrame, cfg: CrawlConfig,
 
 def http_fetch(batch: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Real-network fetch seam (S2 on a cluster): mapInPandas batches issuing
-    HTTP GETs with per-host crawl_delay pacing inside each Arrow batch, using
-    the per-row headers from :func:`build_request_headers` (UA, Cookie,
-    If-None-Match). The sandbox has no network and no HTTP client lib —
-    deliberately stubbed; the join-based :func:`fetch_batch` is the tested
-    drop-in (same output schema, same downstream plan)."""
+    HTTP GETs, using the per-row headers from :func:`build_request_headers`
+    (UA, Cookie, If-None-Match) and sleeping to the W3 pacing offsets from
+    :func:`~simplecrawler_spark.operators.pacing.request_start_offsets`
+    (interval ticks + per-host crawl-delay spacing — that function is pure
+    and unit-tested, so the seam's pacing math is pinned without a network).
+    The sandbox has no network and no HTTP client lib — deliberately
+    stubbed; the join-based :func:`fetch_batch` is the tested drop-in (same
+    output schema, same downstream plan)."""
     raise NotImplementedError(
         "real HTTP fetch requires network access; use fetch_batch(web) — "
         "same output schema, same downstream plan"

@@ -27,15 +27,15 @@ from dataclasses import dataclass, field
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import StringType
 
 from simplecrawler_spark.config import CrawlConfig
-from simplecrawler_spark.functions.canonicalize import canonicalize_one, canonicalize_series
+from simplecrawler_spark.functions.canonicalize import canonicalize_one
 from simplecrawler_spark.functions.links import clean_expand_series
 from simplecrawler_spark.operators import dedupe as dd
 from simplecrawler_spark.operators.admission import admit, seed_host_set
 from simplecrawler_spark.operators.fetch import classify, fetch_batch, verify_payloads
 from simplecrawler_spark.operators.scheduler import assign_seq, select_batch
+from simplecrawler_spark.storage.compaction import plan_and_compact, read_warehouse_table
 from simplecrawler_spark.storage.snapshots import Warehouse
 
 QUEUED_COLS = ["seq", "url_norm", "url_hash", "host", "depth", "referrer", "parent_seq"]
@@ -46,6 +46,9 @@ QUEUED_COLS = ["seq", "url_norm", "url_hash", "host", "depth", "referrer", "pare
 SEEN_SCHEMA = ("seq long, url_norm string, url_hash long, host string, depth int, "
                "referrer string, parent_seq long, round_queued int, round int, bucket int")
 FETCHED_SEQ_SCHEMA = "seq long, round int"
+# column-pruned fetched read for the conditional-GET cache view (S6/J3)
+FETCHED_CACHE_SCHEMA = ("url_norm string, url_hash long, image_id string, "
+                        "body_size long, status string, round_fetched int, round int")
 
 _HOST_RE = r"^[a-z]+://([^/]+)"
 
@@ -58,28 +61,13 @@ class CrawlResult:
     events: dict = field(default_factory=dict)
 
     def fetched_log(self, spark) -> DataFrame:
-        paths = self.warehouse.round_paths("fetched", self.rounds)
-        return spark.read.option("basePath", self.warehouse.table_dir("fetched")).parquet(*paths)
+        return read_warehouse_table(spark, self.warehouse, "fetched", self.rounds)
 
     def url_seen(self, spark) -> DataFrame:
-        paths = self.warehouse.round_paths("seen", self.rounds)
-        return spark.read.option("basePath", self.warehouse.table_dir("seen")).parquet(*paths)
+        return read_warehouse_table(spark, self.warehouse, "seen", self.rounds)
 
     def metrics(self, spark) -> DataFrame:
-        paths = self.warehouse.round_paths("metrics", self.rounds)
-        return spark.read.option("basePath", self.warehouse.table_dir("metrics")).parquet(*paths)
-
-
-def _canon_udf(cfg: CrawlConfig):
-    @F.pandas_udf(StringType())
-    def canon(raw: pd.Series, base: pd.Series) -> pd.Series:
-        return canonicalize_series(
-            raw, base,
-            strip_querystring=cfg.strip_querystring,
-            sort_query_parameters=cfg.sort_query_parameters,
-            strip_www_domain=cfg.strip_www_domain,
-        )
-    return canon
+        return read_warehouse_table(spark, self.warehouse, "metrics", self.rounds)
 
 
 def _clean_links_udf(cfg: CrawlConfig):
@@ -92,6 +80,29 @@ def _clean_links_udf(cfg: CrawlConfig):
             strip_www_domain=cfg.strip_www_domain,
         )
     return clean
+
+
+def _discover_udf():
+    """HTML-discovery mode (F7→F6→F2 in one Arrow pass): raw body →
+    decompress (``gziperror`` on failure, body passed through raw as the
+    reference does) → charset decode → the six discovery regexes. Output
+    raw matches feed the SAME cleanup UDF as table mode.
+    Reference: response pipeline crawler.js:≈L1560–1660 then
+    ``discoverResources`` ≈L900–950."""
+    from simplecrawler_spark.functions.body import decode_series, decompress_series
+    from simplecrawler_spark.functions.links import discover_resources
+
+    @F.pandas_udf("struct<links: array<string>, gzip_ok: boolean>")
+    def disco(body: pd.Series, content_encoding: pd.Series,
+              content_type: pd.Series) -> pd.DataFrame:
+        bodies, ok = decompress_series(body, content_encoding)
+        texts = decode_series(bodies, content_type)
+        links = [discover_resources(t) if t else [] for t in texts]
+        # rows with no body never attempted decompression — not a gziperror
+        ok = ok | body.isna()
+        return pd.DataFrame({"links": links, "gzip_ok": ok})
+
+    return disco
 
 
 def _with_host_hash(df: DataFrame) -> DataFrame:
@@ -124,6 +135,7 @@ class CrawlEngine:
         self.wh = Warehouse(root)
         self.events: dict[str, int] = {}
         self.seed_hosts: list[str] = []
+        self.compacts: dict[str, list[int]] = {}  # live compaction levels per table
         self.phase_secs: dict[str, float] = {}  # perf diagnostics per phase
 
     def _tick(self, phase: str, t0: float) -> float:
@@ -174,7 +186,14 @@ class CrawlEngine:
         os.replace(tmp, os.path.join(d, filename))
 
     # discovery inputs that ride through the writer but are not persisted
-    _WRITER_DROP = ("links", "redirect_to", "mime_supported")
+    @property
+    def _WRITER_DROP(self) -> tuple:
+        base = ("links", "redirect_to", "mime_supported")
+        if self.cfg.discovery_mode == "html":
+            # raw bodies feed the in-loop regex discovery downstream of the
+            # writer; never persisted into the fetched delta
+            return base + ("body", "content_encoding")
+        return base
 
     def _fetched_writer(self, rnd: int):
         """Pass-through Arrow writer for the fetched delta: each partition
@@ -243,27 +262,20 @@ class CrawlEngine:
              .write.mode("overwrite").parquet(d))
 
     def _remaining(self, upto_round: int, watermark: int) -> DataFrame:
-        queued = self.spark.read.schema(SEEN_SCHEMA).option(
-            "basePath", self.wh.table_dir("seen")
-        ).parquet(*self.wh.round_paths("seen", upto_round)).where(
-            F.col("seq") >= watermark
-        ).select(*QUEUED_COLS, "round_queued")
+        queued = read_warehouse_table(
+            self.spark, self.wh, "seen", upto_round, SEEN_SCHEMA
+        ).where(F.col("seq") >= watermark).select(*QUEUED_COLS, "round_queued")
         if self.cfg.host_budget <= 0 and not self.cfg.honor_crawl_delay:
             # FIFO: fetched seqs are exactly the prefix [0, watermark) —
             # D5's _oldestUnfetchedIndex as a pushed-down range predicate;
             # no anti-join needed at all. (With host budgets or crawl-delay
             # caps the batch skips items, so the prefix property breaks.)
             return queued
-        fpaths = self.wh.round_paths("fetched", upto_round)
-        if not fpaths:
+        fetched = read_warehouse_table(
+            self.spark, self.wh, "fetched", upto_round, FETCHED_SEQ_SCHEMA)
+        if fetched is None:
             return queued
-        fetched = (
-            self.spark.read.schema(FETCHED_SEQ_SCHEMA)  # column-pruned at read
-            .option("basePath", self.wh.table_dir("fetched"))
-            .parquet(*fpaths)
-            .where(F.col("seq") >= watermark)
-            .select("seq")
-        )
+        fetched = fetched.where(F.col("seq") >= watermark).select("seq")
         # fetched-above-watermark is bounded by budget skips → broadcast anti-join
         return queued.join(F.broadcast(fetched), "seq", "left_anti")
 
@@ -319,7 +331,7 @@ class CrawlEngine:
             .select("url_hash", "url_norm", "_s.*")
         )
 
-        seen_paths = self.wh.round_paths("seen", rnd - 1) if rnd > 0 else []
+        seen_paths = self.wh.data_paths("seen", rnd - 1) if rnd > 0 else []
         new = dd.filter_new(
             first, self.wh.root, seen_paths, cfg.n_buckets,
             seen_capacity=cfg.seen_capacity,
@@ -429,17 +441,12 @@ class CrawlEngine:
     def _reload_robots(self, rnd: int) -> None:
         """Swap the admission relation to the union of all robots deltas;
         persisted because every round's admission broadcast reads it."""
-        paths = self.wh.round_paths("robots", rnd)
-        if not paths:
+        df = read_warehouse_table(self.spark, self.wh, "robots", rnd,
+                                  self.ROBOTS_SCHEMA + ", round int")
+        if df is None:
             return
         old = self.robots
-        self.robots = (
-            self.spark.read.schema(self.ROBOTS_SCHEMA + ", round int")
-            .option("basePath", self.wh.table_dir("robots"))
-            .parquet(*paths)
-            .select("host", "disallow", "allow", "crawl_delay")
-            .persist()
-        )
+        self.robots = df.select("host", "disallow", "allow", "crawl_delay").persist()
         if old is not None:
             old.unpersist()
 
@@ -480,7 +487,8 @@ class CrawlEngine:
         metrics_rows = [("crawlstart", 1)] + metrics_rows
         self._write_metrics(0, metrics_rows)
         self.wh.commit(0, {"next_seq": n_new, "watermark": 0, "queued": n_new,
-                           "config": cfg.to_json(), "seed_hosts": self.seed_hosts})
+                           "config": cfg.to_json(), "seed_hosts": self.seed_hosts,
+                           "compacts": {}})
         return n_new, 0
 
     def resume_state(self) -> tuple[int, int, int, int]:
@@ -492,11 +500,13 @@ class CrawlEngine:
         m = self.wh.load_manifest(last)
         self.wh.drop_orphans(last)
         self.seed_hosts = m["seed_hosts"]
+        self.compacts = m.get("compacts", {})
         if self.cfg.robots_mode == "lazy":
             self._reload_robots(last)  # upserted rules are part of the snapshot
         if self.cfg.dedupe_mode == "tiered":
             dd.rebuild_sidecars(self.spark, self.wh.root,
-                                self.wh.round_paths("seen", last),
+                                read_warehouse_table(self.spark, self.wh,
+                                                     "seen", last, SEEN_SCHEMA),
                                 self.cfg.n_buckets,
                                 getattr(self.cfg, "seen_capacity", 2_000_000),
                                 self.cfg.bloom_bits_per_key)
@@ -524,24 +534,25 @@ class CrawlEngine:
         wrapper (streaming/stream.py: one micro-batch == one round)."""
         cfg = self.cfg
         seen_df_exact = None
-        canon = _canon_udf(cfg)
         clean = _clean_links_udf(cfg)
+        disco_udf = _discover_udf() if cfg.discovery_mode == "html" else None
         done = 0
 
         import time as _t
+
+        from simplecrawler_spark.operators.pacing import RoundPacer
+        pacer = RoundPacer(cfg.interval_ms) if cfg.interval_ms > 0 else None
 
         while (rnd < cfg.max_rounds and n_left > 0
                and (n_rounds is None or done < n_rounds)):
             rnd += 1
             done += 1
             t = _t.time()
+            if pacer is not None:
+                pacer.round_started()
             if cfg.dedupe_mode == "exact":
-                seen_paths = self.wh.round_paths("seen", rnd - 1)
-                seen_df_exact = (
-                    self.spark.read.schema(SEEN_SCHEMA)
-                    .option("basePath", self.wh.table_dir("seen"))
-                    .parquet(*seen_paths) if seen_paths else None
-                )
+                seen_df_exact = read_warehouse_table(
+                    self.spark, self.wh, "seen", rnd - 1, SEEN_SCHEMA)
             remaining = self._remaining(rnd - 1, watermark)
             host_caps = self._host_caps()
             use_window = cfg.host_budget > 0 or host_caps is not None
@@ -577,16 +588,49 @@ class CrawlEngine:
                            "fetch410", "fetchdataerror", "downloadprevented", "fetchcomplete"]
             ev_obs = Observation(f"events_r{rnd}")
             # `discoverycomplete` (Appendix B) fires once per resource that
-            # ran link discovery = downloaded with a supported MIME type
+            # ran link discovery = downloaded with a supported MIME type;
+            # `fetchheaders` fires once per response whose headers arrived
+            # (request completed — no transport failure; crawler.js:≈L1330)
             disco = F.sum(F.when((F.col("status") == "downloaded")
                                  & F.col("mime_supported"), 1).otherwise(0))
-            outcomes = classify(fetch_batch(batch, self.web, batch_rows=n_batch), cfg,
+            hdrs = F.sum(F.when(F.col("found") & F.col("failure").isNull(), 1)
+                         .otherwise(0))
+            html_mode = cfg.discovery_mode == "html"
+            fetch_in = batch
+            if cfg.use_cache:
+                # J3 — annotate the batch with cached ETag/payload ref (the
+                # If-None-Match headers a real seam would send); the cache is
+                # a derived view over the fetched log, no second table
+                from simplecrawler_spark.operators.cache import (
+                    cache_from_fetched_log, with_conditional_headers)
+                flog = read_warehouse_table(self.spark, self.wh, "fetched",
+                                            rnd - 1, FETCHED_CACHE_SCHEMA)
+                fetch_in = with_conditional_headers(
+                    batch, cache_from_fetched_log(flog) if flog is not None else None)
+            outcomes = classify(fetch_batch(fetch_in, self.web, batch_rows=n_batch,
+                                            extra_cols=(["body", "content_encoding"]
+                                                        if html_mode else None)), cfg,
                                 self.download_conditions).observe(
                 ev_obs,
                 *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
                   for e in event_names],
                 disco.alias("discoverycomplete"),
+                hdrs.alias("fetchheaders"),
             )
+            # D2 `stateData.headers`: the response-header map as a real
+            # MapType column (queue.js:≈L265–330 lists it; table mode
+            # synthesizes the headers a real response would carry)
+            outcomes = outcomes.withColumn(
+                "headers",
+                F.when(
+                    F.col("found") & F.col("failure").isNull(),
+                    F.map_filter(
+                        F.create_map(
+                            F.lit("content-type"), F.col("content_type"),
+                            F.lit("content-length"),
+                            F.col("content_length").cast("string"),
+                            F.lit("location"), F.col("redirect_to")),
+                        lambda k, v: v.isNotNull())))
             if (cfg.allow_initial_domain_change and cfg.filter_by_domain
                     and rnd == 1 and b_lo <= 0):
                 # P1 allowInitialDomainChange (crawler.js:≈L1000–1060): the
@@ -630,9 +674,11 @@ class CrawlEngine:
                 "failure", "content_type", "body_size", "content_length",
                 "sent_incorrect_size", "image_id", "caption",
                 "request_latency_ms", "download_time_ms", "request_time_ms",
-                "phash", "phash_decoded", "psnr", "payload_ok", "round_fetched",
+                "phash", "phash_decoded", "psnr", "payload_ok", "payload_ref",
+                "headers", "round_fetched",
                 # discovery inputs ride along and are dropped by the writer
-                "links", "redirect_to", "mime_supported")
+                "links", "redirect_to", "mime_supported",
+                *(("body", "content_encoding") if html_mode else ()))
             # the fetched delta is written as a SIDE EFFECT of the round's one
             # big job (pass-through mapInArrow, atomic per-partition files):
             # a dedicated .write action would add a whole extra job's plan +
@@ -647,8 +693,23 @@ class CrawlEngine:
             # contribute their target as link_idx 0 (A.3: depth + 1 for both)
             is_page = (F.col("status") == "downloaded") & F.col("mime_supported")
             is_redir = F.col("status") == "redirected"
+            gz_obs = None
+            if html_mode:
+                # F7→F6→F2 over the raw bodies that rode through the writer —
+                # discovery stays inside the round's single job; gziperror
+                # rides a second Observation (still zero extra jobs)
+                stream = stream.withColumn(
+                    "_d", disco_udf(F.when(is_page, F.col("body")),
+                                    F.col("content_encoding"), F.col("content_type")))
+                gz_obs = Observation(f"gzip_r{rnd}")
+                stream = stream.observe(
+                    gz_obs, F.sum(F.when(is_page & ~F.col("_d.gzip_ok"), 1)
+                                  .otherwise(0)).alias("gziperror"))
+                links_src = F.col("_d.links")
+            else:
+                links_src = F.col("links")
             links_arr = (
-                F.when(is_page, clean(F.col("links"), F.col("url_norm")))
+                F.when(is_page, clean(links_src, F.col("url_norm")))
                 .when(is_redir, clean(F.array("redirect_to"), F.col("url_norm")))
                 .otherwise(F.array().cast("array<string>"))
             )
@@ -684,9 +745,21 @@ class CrawlEngine:
                 evc = outcomes.groupBy().agg(
                     *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
                       for e in event_names],
-                    disco.alias("discoverycomplete")).collect()[0].asDict()
-            ev_rows = [(e, int(evc[e])) for e in event_names + ["discoverycomplete"]
+                    disco.alias("discoverycomplete"),
+                    hdrs.alias("fetchheaders")).collect()[0].asDict()
+            ev_rows = [(e, int(evc[e]))
+                       for e in event_names + ["discoverycomplete", "fetchheaders"]
                        if evc[e]]
+            # `fetchstart` fires once per attempted fetch — exactly the
+            # batch size, no aggregation needed (crawler.js:≈L1240)
+            ev_rows.append(("fetchstart", int(n_batch)))
+            if gz_obs is not None:
+                try:
+                    gz = int(gz_obs.get["gziperror"] or 0)
+                except Exception:
+                    gz = 0
+                if gz:
+                    ev_rows.append(("gziperror", gz))
             for name, cnt in ev_rows:
                 self._bump(name, cnt)
             t = self._tick("event_counts", t)
@@ -705,11 +778,34 @@ class CrawlEngine:
             elif n_left and rnd % 8 == 0:
                 row = self._remaining(rnd, watermark).agg(F.min("seq").alias("lo")).collect()[0]
                 watermark = int(row["lo"]) if row["lo"] is not None else next_seq
+            compacted = False
+            if cfg.compact_every and rnd % cfg.compact_every == 0:
+                # compaction covers rounds ≤ rnd-1 (all committed); the new
+                # level goes live with THIS round's manifest — the manifest
+                # is the transaction, exactly like round deltas
+                self.compacts = plan_and_compact(
+                    self.spark, self.wh, rnd, self.compacts,
+                    cfg.compact_max_levels, SEEN_SCHEMA)
+                compacted = True
+                t = self._tick("compaction", t)
             self.wh.commit(rnd, {"next_seq": next_seq, "watermark": watermark,
                                  "queued": int(n_left), "batch": int(n_batch),
-                                 "config": cfg.to_json(), "seed_hosts": self.seed_hosts})
+                                 "config": cfg.to_json(), "seed_hosts": self.seed_hosts,
+                                 "compacts": self.compacts})
+            if compacted:
+                # post-commit: consumed inputs are no longer referenced by
+                # any live manifest — safe to delete (crash here is repaired
+                # by drop_orphans on resume)
+                self.wh.cleanup_compacted_inputs(self.compacts)
             outcomes.unpersist()
             batch.unpersist()
+            if pacer is not None:
+                # W3: this round stood for n_batch interval ticks — sleep
+                # the wall-clock remainder (reference crawlIntervalID timer)
+                slept = pacer.pace(n_batch)
+                if slept:
+                    self.phase_secs["interval_pacing"] = (
+                        self.phase_secs.get("interval_pacing", 0.0) + slept)
 
         return rnd, next_seq, watermark, n_left
 

@@ -21,6 +21,20 @@ Layout under ``warehouse/``::
     metrics/round=R/    per-partition event counters
     sidecars/bucket=B/  bloom.npy + cuckoo.npy membership tiers (rebuilt on resume)
     manifests/manifest-R.json   atomic commit point, parent pointer = lineage
+    <table>/compact=C/  compacted level files (storage/compaction.py)
+
+Compaction (the Iceberg-manifest analog): without it every read lists
+O(rounds × buckets) delta dirs — the clearest 100×-scale failure. Every
+``compact_every`` rounds the deltas since the last level are merged into one
+``compact=C`` dir (ONE file per bucket for ``seen``); when more than
+``compact_max_levels`` levels accumulate, a major compaction rewrites them
+into one. The manifest's ``compacts`` key lists the live levels per table —
+the manifest IS the transaction: a compact dir is invisible until a manifest
+references it, and consumed inputs are deleted only after the referencing
+manifest lands (crash in between leaves stale-but-ignored dirs that resume
+garbage-collects). Read set per table = ``len(levels) + rounds-since-last``
+dirs — bounded by construction. Reference analog: the FS cache's single
+``cacheindex.json`` staying O(1) (``lib/cache-backend-fs.js:≈L60``).
 """
 
 from __future__ import annotations
@@ -53,13 +67,52 @@ class Warehouse:
         return os.path.join(self.root, table, f"round={rnd}")
 
     def round_paths(self, table: str, upto_round: int) -> list[str]:
-        """Existing committed delta dirs for ``table`` with round ≤ R."""
+        """Existing committed delta dirs for ``table`` with round ≤ R
+        (compaction-unaware enumeration — prefer :meth:`data_paths`)."""
         out = []
         for r in range(upto_round + 1):
             p = self.round_dir(table, r)
             if os.path.isdir(p):
                 out.append(p)
         return out
+
+    def compact_dir(self, table: str, level: int) -> str:
+        return os.path.join(self.root, table, f"compact={level}")
+
+    def manifest_compacts(self, upto_round: int) -> dict:
+        """Live compaction levels per table, from the newest manifest ≤ R
+        (during a round, R itself is not yet committed — fall back one)."""
+        for r in (upto_round, upto_round - 1):
+            if r >= 0 and os.path.exists(self._manifest_path(r)):
+                return self.load_manifest(r).get("compacts", {})
+        return {}
+
+    def layout_for(self, table: str, upto_round: int,
+                   levels: list[int]) -> tuple[list[str], list[str]]:
+        """(compact_dirs, round_dirs) for an explicit level list: all live
+        levels plus delta rounds in (max level, R]. The returned set is what
+        a reader must scan — ``len(levels) + rounds-since-last-compaction``
+        dirs, never O(total rounds)."""
+        comp = [self.compact_dir(table, lv) for lv in sorted(levels)
+                if os.path.isdir(self.compact_dir(table, lv))]
+        floor = max(levels) if levels else -1
+        rounds = []
+        for r in range(floor + 1, upto_round + 1):
+            p = self.round_dir(table, r)
+            if os.path.isdir(p):
+                rounds.append(p)
+        return comp, rounds
+
+    def read_layout(self, table: str, upto_round: int) -> tuple[list[str], list[str]]:
+        """Manifest-aware read set: (compact_dirs, delta_round_dirs)."""
+        levels = self.manifest_compacts(upto_round).get(table, [])
+        return self.layout_for(table, upto_round, levels)
+
+    def data_paths(self, table: str, upto_round: int) -> list[str]:
+        """Flat bounded path list (compact levels first, then deltas) — the
+        pyarrow tier-3 probe's file universe."""
+        comp, rounds = self.read_layout(table, upto_round)
+        return comp + rounds
 
     def sidecar_path(self, bucket: int, kind: str) -> str:
         return os.path.join(self.root, "sidecars", f"bucket={bucket}", f"{kind}.npy")
@@ -105,14 +158,61 @@ class Warehouse:
         return list(reversed(chain))
 
     def drop_orphans(self, committed_round: int) -> list[str]:
-        """Delete round dirs newer than the last committed manifest (partial
-        writes from a crashed round) — called on resume before any read."""
+        """Garbage-collect everything the last committed manifest does not
+        reference — called on resume before any read:
+
+        * round dirs newer than the manifest (partial writes from a crashed
+          round);
+        * round dirs at or below a table's compaction floor (inputs consumed
+          by a committed compaction whose cleanup was interrupted);
+        * ``compact=`` dirs not in the manifest's ``compacts`` list (a
+          compaction that wrote its level but crashed before committing);
+        * ``.compact-*.tmp*`` work dirs (crash mid-write, pre-rename).
+        """
+        compacts = self.manifest_compacts(committed_round)
         dropped = []
         for t in self.TABLES:
             base = self.table_dir(t)
+            levels = set(compacts.get(t, []))
+            floor = max(levels) if levels else -1
             for name in os.listdir(base):
+                path = os.path.join(base, name)
                 m = re.fullmatch(r"round=(\d+)", name)
-                if m and int(m.group(1)) > committed_round:
-                    shutil.rmtree(os.path.join(base, name))
-                    dropped.append(os.path.join(base, name))
+                if m and (int(m.group(1)) > committed_round or int(m.group(1)) <= floor):
+                    shutil.rmtree(path)
+                    dropped.append(path)
+                    continue
+                c = re.fullmatch(r"compact=(\d+)", name)
+                if c and int(c.group(1)) not in levels:
+                    shutil.rmtree(path)
+                    dropped.append(path)
+                    continue
+                if name.startswith(".compact-"):
+                    shutil.rmtree(path)
+                    dropped.append(path)
+        return dropped
+
+    def cleanup_compacted_inputs(self, compacts: dict) -> list[str]:
+        """Post-commit cleanup: delete delta rounds ≤ each table's compaction
+        floor and unreferenced compact levels. Safe to crash at any point —
+        the committed manifest never references the deleted dirs, and resume
+        re-runs this via :meth:`drop_orphans`."""
+        dropped = []
+        for t in self.TABLES:
+            levels = set(compacts.get(t, []))
+            if not levels:
+                continue
+            floor = max(levels)
+            base = self.table_dir(t)
+            for name in os.listdir(base):
+                path = os.path.join(base, name)
+                m = re.fullmatch(r"round=(\d+)", name)
+                if m and int(m.group(1)) <= floor:
+                    shutil.rmtree(path)
+                    dropped.append(path)
+                    continue
+                c = re.fullmatch(r"compact=(\d+)", name)
+                if c and int(c.group(1)) not in levels:
+                    shutil.rmtree(path)
+                    dropped.append(path)
         return dropped

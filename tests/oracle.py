@@ -56,6 +56,9 @@ class OracleCrawler:
         self.seen: dict[str, int] = {}
         self.events: Counter = Counter()
         self.seed_hosts: list[str] = []
+        # S6/J3 conditional-GET cache: url -> (etag, payload_ref); mirrors
+        # operators/cache.cache_from_fetched_log's ETag formula
+        self.cache: dict[str, tuple[str, str]] = {}
 
     # --- shared-semantics helpers ---
     def _canon(self, raw, base):
@@ -130,6 +133,12 @@ class OracleCrawler:
         self.events["queueadd"] += 1
 
     # --- fetch outcome (mirrors operators/fetch.classify order exactly) ---
+    @staticmethod
+    def _etag(row: dict) -> str:
+        import hashlib
+        s = f"{row['url_norm']}|{row.get('image_id') or ''}|{row['body_size']}"
+        return hashlib.md5(s.encode()).hexdigest()
+
     def _classify(self, item: dict):
         row = self.web.get(item["url_norm"])
         if row is None:
@@ -141,6 +150,12 @@ class OracleCrawler:
             return "failed", "fetchclienterror", row
         code = row["status_code"]
         if code == 304:
+            return "notmodified", "notmodified", row
+        if (self.cfg.use_cache and 200 <= code <= 299
+                and item["url_norm"] in self.cache
+                and self.cache[item["url_norm"]][0] == self._etag(row)):
+            # If-None-Match matched the current payload identity → the
+            # server answers 304 (crawler.js:≈L1160–1200)
             return "notmodified", "notmodified", row
         if 300 <= code <= 399 and row.get("redirect_to"):
             return "redirected", "fetchredirect", row
@@ -193,10 +208,23 @@ class OracleCrawler:
                 rnd -= 1
                 break
             candidates = []  # (parent_seq, link_idx, url, depth, referrer)
+            round_cache: list[tuple[str, tuple[str, str]]] = []
             for it in batch:
                 status, event, row = self._classify(it)
                 it["status"] = status
+                # lifecycle events: fetchstart per attempt; fetchheaders once
+                # the response headers arrive (request completed — no
+                # transport failure; crawler.js:≈L1240, ≈L1330)
+                self.events["fetchstart"] += 1
+                if row is not None and not row.get("failure"):
+                    self.events["fetchheaders"] += 1
                 self.events[event] += 1
+                if self.cfg.use_cache and status == "downloaded":
+                    # deferred to end-of-round: the engine's cache view reads
+                    # fetched rounds ≤ R-1, so a same-round duplicate fetch
+                    # must NOT see this round's entries
+                    round_cache.append((it["url_norm"], (
+                        self._etag(row), row.get("image_id") or it["url_norm"])))
                 res.fetched_log.append((rnd, it["seq"], it["url_norm"], it["depth"], status))
                 if status == "redirected":
                     u = self._canon(row["redirect_to"], it["url_norm"])
@@ -211,9 +239,23 @@ class OracleCrawler:
                         candidates.append((it["seq"], 0, u, it["depth"] + 1, it["url_norm"]))
                 elif status == "downloaded" and self._mime_supported(row["content_type"]):
                     self.events["discoverycomplete"] += 1
+                    if self.cfg.discovery_mode == "html":
+                        # F7→F6→F2 over the raw body — mirrors the engine's
+                        # _discover_udf (and the reference response pipeline)
+                        from simplecrawler_spark.functions.body import (
+                            decode_one, decompress_one)
+                        from simplecrawler_spark.functions.links import discover_resources
+                        body, ok = decompress_one(row.get("body"),
+                                                  row.get("content_encoding"))
+                        if not ok:
+                            self.events["gziperror"] += 1
+                        text = decode_one(body, row["content_type"])
+                        raw_links = discover_resources(text) if text else []
+                    else:
+                        raw_links = row["links"] or []
                     page_seen: set[str] = set()
                     idx = 0
-                    for raw in row["links"] or []:
+                    for raw in raw_links:
                         cleaned = _clean_raw(raw) if raw is not None else None
                         if cleaned is None:
                             continue
@@ -226,6 +268,8 @@ class OracleCrawler:
             candidates.sort(key=lambda c: (c[0], c[1]))
             for _, _, url, depth, ref in candidates:
                 self._admit(url, depth, ref, rnd)
+            for url, entry in round_cache:
+                self.cache[url] = entry
         if not any(it["status"] == "queued" for it in self.queue):
             self.events["complete"] += 1  # fixpoint reached (frontier drained)
         res.seen = dict(self.seen)

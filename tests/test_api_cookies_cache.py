@@ -130,3 +130,42 @@ def test_cache_delta_shape(spark, corpus, tmp_path):
     rows = delta.collect()
     assert len(rows) == fetched.where(F.col("status") == "downloaded").count()
     assert all(r["etag"] and r["payload_ref"] for r in rows)
+
+
+def test_headers_column_and_nested_count_items(spark, corpus, tmp_path):
+    """D2 `stateData.headers` as a MapType column + countItems indexing into
+    it (queue.js:≈L265–330): the count through the comparator must equal a
+    direct recomputation over the fetched log, and the map must carry the
+    response's content-type/content-length (and location on redirects)."""
+    c = Crawler(spark, "http://host0.example/p/0", corpus_dir=corpus,
+                filter_by_domain=False, budget=64, max_rounds=100,
+                dedupe_mode="exact", warehouse=str(tmp_path / "wh_hdr"))
+    res = c.start()
+    log = res.fetched_log(spark)
+
+    # headers present exactly when a response arrived (no transport failure)
+    rows = log.select("status", "failure", "content_type", "content_length",
+                      "headers").collect()
+    want = 0
+    for r in rows:
+        h = r["headers"]
+        if r["failure"] is not None:
+            assert h is None
+            continue
+        if h is None:
+            continue
+        if r["content_type"] is not None:
+            assert h.get("content-type") == r["content_type"]
+        if r["content_length"] is not None:
+            assert h.get("content-length") == str(r["content_length"])
+        if r["status"] == "redirected":
+            assert h.get("location")  # Location header rode into the map
+        if h.get("content-type") == "text/html":
+            want += 1
+
+    got = c.count_items({"stateData": {"headers": {"content-type": "text/html"}}})
+    assert got == want and want > 0
+    # fetchstart == total attempts; fetchheaders == responses that arrived
+    assert res.events["fetchstart"] == log.count()
+    n_resp = sum(1 for r in rows if r["headers"] is not None)
+    assert res.events["fetchheaders"] == n_resp

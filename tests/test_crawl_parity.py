@@ -331,3 +331,52 @@ def test_parity_content_length_header(spark, tmp_path):
     assert log[f"{h}/lie"]["sent_incorrect_size"] is True
     assert log[f"{h}/p/0"]["sent_incorrect_size"] is False
     assert result.events.get("fetchdataerror") == 1
+
+
+def test_parity_html_discovery_mode(spark, corpus, tmp_path):
+    """F2/F3/F6/F7 in the hot path: the engine crawls by regex-discovering
+    links from raw (gzip/deflate/corrupt/latin-1) HTML bodies instead of the
+    pre-extracted links array, exactly matching the oracle running the same
+    response pipeline (discoverResources, crawler.js:≈L900–950; decompress/
+    decode ≈L1560–1660). The corpus plants truncated gzip streams, so the
+    gziperror event is exercised, and link sets genuinely differ from table
+    mode (comment links, cross-regex duplicates)."""
+    d, p = corpus
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
+                      dedupe_mode="exact", max_rounds=500,
+                      discovery_mode="html")
+    result, oresult = _run_both(spark, d, cfg, tmp_path)
+    assert len(oresult.fetched_log) > 20
+    assert oresult.events.get("gziperror", 0) > 0  # corrupt-gzip path ran
+    _assert_parity(spark, result, oresult)
+
+
+def test_parity_conditional_get_refetch(spark, corpus, tmp_path):
+    """S6/J3 in the loop: with use_cache=True, a force-re-enqueued URL (true
+    duplicate, own seq) fetched in a LATER round carries If-None-Match from
+    the cache view over the fetched log; the ETag matches the unchanged
+    payload, the fetch resolves to 304/notmodified, and the cached payload
+    ref is served (crawler.js:≈L1160–1200, ≈L1360). budget=1 forces the two
+    fetches of the same URL into different rounds."""
+    d, p = corpus
+    seed = "http://host0.example/p/0"
+    cfg = CrawlConfig(seeds=[seed], force_seeds=[seed], budget=1,
+                      dedupe_mode="exact", max_rounds=6, use_cache=True)
+    result, oresult = _run_both(spark, d, cfg, tmp_path)
+    _assert_parity(spark, result, oresult)
+    log = {(r["seq"]): r for r in result.fetched_log(spark).collect()}
+    # seq 0 = first fetch (downloaded), seq 1 = forced duplicate → 304 + ref
+    assert log[0]["status"] == "downloaded" and log[0]["payload_ref"] is None
+    assert log[1]["status"] == "notmodified"
+    assert log[1]["payload_ref"] == seed  # html page → ref is the url itself
+    assert result.events.get("notmodified", 0) >= 1
+
+
+def test_parity_use_cache_plain_crawl_unchanged(spark, corpus, tmp_path):
+    """use_cache on a crawl with no re-fetches must not change anything:
+    every URL is fetched once, so no If-None-Match ever matches."""
+    d, p = corpus
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
+                      dedupe_mode="exact", max_rounds=500, use_cache=True)
+    result, oresult = _run_both(spark, d, cfg, tmp_path)
+    _assert_parity(spark, result, oresult)

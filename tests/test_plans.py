@@ -87,3 +87,43 @@ def test_simhash_pairs_plan_is_equijoin_not_cross(spark):
     fps = spark.createDataFrame([(1, 5), (2, 5)], "doc_id long, simhash long")
     plan = _plan(simhash_pairs(fps))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_request_start_offsets_math():
+    # W3 pacing math (pure): interval ticks + per-host crawl-delay spacing
+    from simplecrawler_spark.operators.pacing import request_start_offsets
+
+    # interval only: one start per tick
+    assert request_start_offsets(["a", "b", "c"], {}, 0.25) == [0.0, 0.25, 0.5]
+    # crawl-delay dominates interval for the repeated host
+    got = request_start_offsets(["h", "h", "h"], {"h": 1.0}, 0.25)
+    assert got == [0.0, 1.0, 2.0]
+    # mixed: other hosts fill the ticks while a slow host waits
+    got = request_start_offsets(["h", "x", "h", "x"], {"h": 1.0}, 0.25)
+    assert got == [0.0, 0.25, 1.0, 1.0]  # monotonic, h spaced by 1.0
+    # no interval, no delays: all immediate
+    assert request_start_offsets(["a", "b"], {}, 0.0) == [0.0, 0.0]
+    # offsets never decrease (issue order preserved)
+    got = request_start_offsets(["h", "h", "x"], {"h": 2.0}, 0.1)
+    assert got == sorted(got)
+
+
+def test_round_pacer_sleeps_remainder():
+    from simplecrawler_spark.operators.pacing import RoundPacer
+
+    now = [100.0]
+    slept = []
+    p = RoundPacer(250.0, clock=lambda: now[0], sleep=slept.append)
+    p.round_started()
+    now[0] += 0.5                      # round took 0.5 s of real work
+    assert p.required_sleep(4) == 0.5  # 4 ticks * 0.25 = 1.0 → sleep 0.5
+    p.pace(4)
+    assert slept == [0.5]
+    # a slow round needs no sleep
+    p.round_started()
+    now[0] += 3.0
+    assert p.pace(4) == 0.0
+    # disabled pacer is inert
+    p0 = RoundPacer(0.0, clock=lambda: now[0], sleep=slept.append)
+    p0.round_started()
+    assert p0.pace(100) == 0.0
