@@ -149,7 +149,7 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
 
 
 PAYLOAD_SCHEMA = (
-    "url_norm string, image_id string, caption string, phash long, "
+    "seq long, url_norm string, image_id string, caption string, phash long, "
     "phash_decoded long, psnr double, payload_ok boolean"
 )
 
@@ -162,9 +162,14 @@ def verify_payloads(downloaded: DataFrame, images: DataFrame,
 
     The fetched batch is broadcast; the (huge) images table streams through
     one pruned scan. Decode runs in ``mapInPandas`` — whole Arrow batches,
-    numpy codecs, no per-row Python."""
+    numpy codecs, no per-row Python. ``downloaded`` is now the round's
+    just-written fetched DELTA (a tiny parquet read), not the live fetch
+    pipeline — so building the broadcast costs a footer-sized scan instead
+    of re-running the web join (round-3 profile: that duplicated scan was
+    ~6.5 s/round of the serial floor)."""
     need = downloaded.where(F.col("image_id").isNotNull()).select(
-        "url_norm", F.col("image_id").alias("image_id"), F.col("caption").alias("web_caption")
+        "seq", "url_norm", F.col("image_id").alias("image_id"),
+        F.col("caption").alias("web_caption")
     )
     joined = images.join(F.broadcast(need), "image_id")
 
@@ -192,6 +197,7 @@ def verify_payloads(downloaded: DataFrame, images: DataFrame,
             cap_ok = (pdf["caption"].fillna("") == pdf["web_caption"].fillna("")).to_numpy()
             yield pd.DataFrame(
                 {
+                    "seq": pdf["seq"],
                     "url_norm": pdf["url_norm"],
                     "image_id": pdf["image_id"],
                     "caption": pdf["caption"],

@@ -61,7 +61,21 @@ class CrawlResult:
     events: dict = field(default_factory=dict)
 
     def fetched_log(self, spark) -> DataFrame:
-        return read_warehouse_table(spark, self.warehouse, "fetched", self.rounds)
+        """Fetched rows with payload-verification columns joined back on.
+        The payload table is written by its own per-round job (reading the
+        just-written fetched delta) — the read-time join on ``seq`` (unique)
+        keeps the consumer-facing schema identical to when the columns were
+        inlined, while the write path stays one pass."""
+        f = read_warehouse_table(spark, self.warehouse, "fetched", self.rounds)
+        p = read_warehouse_table(spark, self.warehouse, "payload", self.rounds)
+        if p is None:
+            return (f.withColumn("phash", F.lit(None).cast("long"))
+                    .withColumn("phash_decoded", F.lit(None).cast("long"))
+                    .withColumn("psnr", F.lit(None).cast("double"))
+                    .withColumn("payload_ok", F.lit(None).cast("boolean")))
+        return f.join(
+            p.select("seq", "phash", "phash_decoded", "psnr", "payload_ok"),
+            "seq", "left")
 
     def url_seen(self, spark) -> DataFrame:
         return read_warehouse_table(spark, self.warehouse, "seen", self.rounds)
@@ -458,15 +472,20 @@ class CrawlEngine:
         cfg = self.cfg
 
         def _canon_list(urls):
-            out = []
-            for s in urls:
-                u = canonicalize_one(
-                    s, None, strip_querystring=cfg.strip_querystring,
-                    sort_query_parameters=cfg.sort_query_parameters,
-                    strip_www_domain=cfg.strip_www_domain)
-                if u is not None:
-                    out.append(u)
-            return out
+            # vectorized: the per-url scalar loop cost ~30 µs/seed of pure
+            # driver time — 7+ s of serial floor at a 200k-seed wide crawl
+            # (round-3 event-log profile); canonicalize_series' fast paths
+            # run as C-speed pandas string ops
+            if not urls:
+                return []
+            from simplecrawler_spark.functions.canonicalize import canonicalize_series
+            s = canonicalize_series(
+                pd.Series(list(urls), dtype=object),
+                pd.Series([None] * len(urls), dtype=object),
+                strip_querystring=cfg.strip_querystring,
+                sort_query_parameters=cfg.sort_query_parameters,
+                strip_www_domain=cfg.strip_www_domain)
+            return [u for u in s if u is not None]
 
         canon = _canon_list(cfg.seeds)
         forced = _canon_list(cfg.force_seeds)
@@ -652,30 +671,17 @@ class CrawlEngine:
                         nh = split_host(u0)
                         if nh and self.seed_hosts and nh != self.seed_hosts[0]:
                             self.seed_hosts = [nh] + self.seed_hosts[1:]
+            # payload verification moved to a POST-delta job (see below):
+            # joining it here forced a persisted-outcomes pre-job that
+            # re-scanned the whole web table to build the broadcast —
+            # ~6.5 s/round of serial floor in the round-3 profile
             fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
-            if self.images is not None:
-                # the payload-verify broadcast subtree re-reads outcomes —
-                # persist so the fetch join isn't computed twice
-                outcomes = outcomes.persist()
-                fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
-                pay = verify_payloads(
-                    outcomes.where(F.col("status") == "downloaded"),
-                    self.images, self.corpus_params,
-                ).select("url_norm", F.col("phash").alias("phash"),
-                         "phash_decoded", "psnr", "payload_ok")
-                fetched = fetched.join(F.broadcast(pay), "url_norm", "left")
-            else:
-                fetched = (fetched.withColumn("phash", F.lit(None).cast("long"))
-                           .withColumn("phash_decoded", F.lit(None).cast("long"))
-                           .withColumn("psnr", F.lit(None).cast("double"))
-                           .withColumn("payload_ok", F.lit(None).cast("boolean")))
             fetched_sel = fetched.select(
                 *QUEUED_COLS, "round_queued", "status", "event", "status_code",
                 "failure", "content_type", "body_size", "content_length",
                 "sent_incorrect_size", "image_id", "caption",
                 "request_latency_ms", "download_time_ms", "request_time_ms",
-                "phash", "phash_decoded", "psnr", "payload_ok", "payload_ref",
-                "headers", "round_fetched",
+                "payload_ref", "headers", "round_fetched",
                 # discovery inputs ride along and are dropped by the writer
                 "links", "redirect_to", "mime_supported",
                 *(("body", "content_encoding") if html_mode else ()))
@@ -739,6 +745,18 @@ class CrawlEngine:
             self._ensure_fetched_complete(rnd, n_batch, fetched_sel)
             open(os.path.join(self.wh.round_dir("fetched", rnd), "_SUCCESS"), "w").close()
             t = self._tick("admit_dedupe_assign", t)
+            if self.images is not None:
+                # payload decode/PSNR verify over the round's image rows:
+                # the broadcast `need` now reads the just-written fetched
+                # delta (footer-sized scan) instead of re-running the fetch
+                # pipeline; the results land as their own `payload` delta,
+                # joined back at read time by CrawlResult.fetched_log
+                delta = self.spark.read.parquet(self.wh.round_dir("fetched", rnd))
+                pay = verify_payloads(
+                    delta.where(F.col("status") == "downloaded"),
+                    self.images, self.corpus_params)
+                pay.write.mode("overwrite").parquet(self.wh.round_dir("payload", rnd))
+                t = self._tick("payload_verify", t)
             try:
                 evc = ev_obs.get  # filled by the round's job; no extra action
             except Exception:

@@ -49,8 +49,10 @@ import time
 class Warehouse:
     # "seen" holds the unified frontier/url_seen delta (one write serves
     # both roles — see operators/dedupe.register_new); "robots" is the
-    # lazily-upserted per-host rules table (S3, lazy mode only)
-    TABLES = ("fetched", "seen", "metrics", "robots")
+    # lazily-upserted per-host rules table (S3, lazy mode only); "payload"
+    # is the per-round image decode/PSNR verification results, joined back
+    # onto fetched rows at read time (plans/crawl.CrawlResult.fetched_log)
+    TABLES = ("fetched", "seen", "metrics", "robots", "payload")
 
     def __init__(self, root: str):
         self.root = root

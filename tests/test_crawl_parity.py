@@ -380,3 +380,31 @@ def test_parity_use_cache_plain_crawl_unchanged(spark, corpus, tmp_path):
                       dedupe_mode="exact", max_rounds=500, use_cache=True)
     result, oresult = _run_both(spark, d, cfg, tmp_path)
     _assert_parity(spark, result, oresult)
+
+
+def test_payload_verification_per_fetched_image(spark, corpus, tmp_path):
+    """North-rule per-row invariant: every fetched image row decodes
+    (vectorized Arrow batches), its perceptual hash matches the corpus
+    phash, PSNR ≥ 40 dB for the lossy format, and caption equality holds —
+    surfaced as payload columns on fetched_log (joined from the per-round
+    payload delta the post-write verify job produces)."""
+    d, p = corpus
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=96,
+                      dedupe_mode="exact", max_rounds=500,
+                      filter_by_domain=False)
+    cfg.warehouse = str(tmp_path / "wh_pay")
+    web = spark.read.parquet(f"{d}/web")
+    images = spark.read.parquet(f"{d}/images")
+    robots = spark.read.parquet(f"{d}/robots")
+    eng = CrawlEngine(spark, cfg, web, images, robots, corpus_params=p)
+    res = eng.run()
+    log = res.fetched_log(spark)
+    img_rows = log.where("image_id is not null and status = 'downloaded'").collect()
+    assert len(img_rows) > 5  # the crawl actually hit image leaves
+    for r in img_rows:
+        assert r["payload_ok"] is True, (r["url_norm"], r["phash"], r["phash_decoded"])
+        assert r["phash_decoded"] == r["phash"]
+        assert r["psnr"] >= 40.0 or r["psnr"] == float("inf")
+    # non-image rows carry nulls, exactly as when the columns were inlined
+    others = log.where("image_id is null").select("payload_ok").limit(5).collect()
+    assert all(r["payload_ok"] is None for r in others)
