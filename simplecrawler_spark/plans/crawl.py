@@ -21,7 +21,9 @@ oracle (tests/oracle.py) and this loop agree row-for-row by construction.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import threading
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -49,6 +51,9 @@ FETCHED_SEQ_SCHEMA = "seq long, round int"
 # column-pruned fetched read for the conditional-GET cache view (S6/J3)
 FETCHED_CACHE_SCHEMA = ("url_norm string, url_hash long, image_id string, "
                         "body_size long, status string, round_fetched int, round int")
+# column-pruned fetched-delta read for the per-round payload-verify job
+FETCHED_PAYLOAD_SCHEMA = ("seq long, url_norm string, image_id string, "
+                          "caption string, status string")
 
 _HOST_RE = r"^[a-z]+://([^/]+)"
 
@@ -510,6 +515,39 @@ class CrawlEngine:
                            "compacts": {}})
         return n_new, 0
 
+    def _verify_payload_round(self, rnd: int) -> None:
+        """Decode/PSNR-verify the round's image rows (operators/fetch.
+        verify_payloads) from the just-written fetched delta and land the
+        results as the round's ``payload`` delta. Idempotent (overwrite) —
+        safe to re-run from the resume repair pass or a retried round."""
+        delta = self.spark.read.schema(FETCHED_PAYLOAD_SCHEMA).parquet(
+            self.wh.round_dir("fetched", rnd))
+        pay = verify_payloads(
+            delta.where(F.col("status") == "downloaded"),
+            self.images, self.corpus_params)
+        pay.write.mode("overwrite").parquet(self.wh.round_dir("payload", rnd))
+
+    def _repair_payload(self, last: int) -> None:
+        """The payload table is DERIVED — a pure function of the committed
+        fetched delta and the images table. Its per-round verify job is
+        pipelined one round behind (spawned after the fetched delta's
+        _SUCCESS, joined before the NEXT compaction/return), so a crash can
+        leave a committed round's payload delta missing or partial; this
+        recomputes exactly those rounds. Rounds at or below the payload
+        compaction floor are complete by the join-before-compaction
+        invariant and are skipped."""
+        levels = self.compacts.get("payload", [])
+        floor = max(levels) if levels else 0  # round 0 is seed-only
+        for r in range(floor + 1, last + 1):
+            pdir = self.wh.round_dir("payload", r)
+            if os.path.isdir(pdir) and os.path.exists(
+                    os.path.join(pdir, "_SUCCESS")):
+                continue
+            if not os.path.isdir(self.wh.round_dir("fetched", r)):
+                continue  # no fetched delta for this round (nothing derived)
+            shutil.rmtree(pdir, ignore_errors=True)
+            self._verify_payload_round(r)
+
     def resume_state(self) -> tuple[int, int, int, int]:
         """S5 — defrost: last committed manifest wins; orphan round dirs from
         a crashed round are dropped; sidecars rebuilt from committed deltas."""
@@ -529,6 +567,8 @@ class CrawlEngine:
                                 self.cfg.n_buckets,
                                 getattr(self.cfg, "seen_capacity", 2_000_000),
                                 self.cfg.bloom_bits_per_key)
+        if self.images is not None:
+            self._repair_payload(last)
         return last, int(m["next_seq"]), int(m["watermark"]), int(m["queued"])
 
     def run(self, resume: bool = False) -> CrawlResult:
@@ -561,6 +601,43 @@ class CrawlEngine:
 
         from simplecrawler_spark.operators.pacing import RoundPacer
         pacer = RoundPacer(cfg.interval_ms) if cfg.interval_ms > 0 else None
+
+        # Payload verification pipelines one round behind the BSP loop: the
+        # verify job only needs the just-written fetched delta, so it runs
+        # on its own thread (Spark job submission is thread-safe) and
+        # overlaps the next round's driver work and jobs — the job's ~2 s
+        # fixed latency otherwise lands entirely on the round barrier at
+        # small round volumes. Joined before any compaction (which would
+        # consume the delta dirs it reads/writes) and before returning;
+        # a crash mid-flight is repaired by _repair_payload on resume.
+        pay_thread: threading.Thread | None = None
+        pay_err: list[BaseException] = []
+
+        def _spawn_payload(r: int) -> None:
+            nonlocal pay_thread
+
+            def work() -> None:
+                t0 = _t.time()
+                try:
+                    self._verify_payload_round(r)
+                except BaseException as e:  # surfaced at the next join
+                    pay_err.append(e)
+                finally:
+                    self.phase_secs["payload_verify"] = (
+                        self.phase_secs.get("payload_verify", 0.0)
+                        + (_t.time() - t0))
+
+            pay_thread = threading.Thread(
+                target=work, daemon=True, name=f"payload-r{r}")
+            pay_thread.start()
+
+        def _join_payload() -> None:
+            nonlocal pay_thread
+            if pay_thread is not None:
+                pay_thread.join()
+                pay_thread = None
+            if pay_err:
+                raise pay_err[0]
 
         while (rnd < cfg.max_rounds and n_left > 0
                and (n_rounds is None or done < n_rounds)):
@@ -746,17 +823,11 @@ class CrawlEngine:
             open(os.path.join(self.wh.round_dir("fetched", rnd), "_SUCCESS"), "w").close()
             t = self._tick("admit_dedupe_assign", t)
             if self.images is not None:
-                # payload decode/PSNR verify over the round's image rows:
-                # the broadcast `need` now reads the just-written fetched
-                # delta (footer-sized scan) instead of re-running the fetch
-                # pipeline; the results land as their own `payload` delta,
-                # joined back at read time by CrawlResult.fetched_log
-                delta = self.spark.read.parquet(self.wh.round_dir("fetched", rnd))
-                pay = verify_payloads(
-                    delta.where(F.col("status") == "downloaded"),
-                    self.images, self.corpus_params)
-                pay.write.mode("overwrite").parquet(self.wh.round_dir("payload", rnd))
-                t = self._tick("payload_verify", t)
+                # previous round's verify job had a whole round to drain —
+                # this join is normally instant; then pipeline this round's
+                _join_payload()
+                _spawn_payload(rnd)
+                t = self._tick("payload_spawn", t)
             try:
                 evc = ev_obs.get  # filled by the round's job; no extra action
             except Exception:
@@ -798,6 +869,9 @@ class CrawlEngine:
                 watermark = int(row["lo"]) if row["lo"] is not None else next_seq
             compacted = False
             if cfg.compact_every and rnd % cfg.compact_every == 0:
+                # the in-flight payload job reads/writes delta dirs the
+                # compaction pass is about to consume — drain it first
+                _join_payload()
                 # compaction covers rounds ≤ rnd-1 (all committed); the new
                 # level goes live with THIS round's manifest — the manifest
                 # is the transaction, exactly like round deltas
@@ -825,6 +899,9 @@ class CrawlEngine:
                     self.phase_secs["interval_pacing"] = (
                         self.phase_secs.get("interval_pacing", 0.0) + slept)
 
+        # the caller (run(), the streaming wrapper's per-round tick, tests)
+        # may read the payload table immediately — drain the pipeline
+        _join_payload()
         return rnd, next_seq, watermark, n_left
 
 

@@ -408,3 +408,27 @@ def test_payload_verification_per_fetched_image(spark, corpus, tmp_path):
     # non-image rows carry nulls, exactly as when the columns were inlined
     others = log.where("image_id is null").select("payload_ok").limit(5).collect()
     assert all(r["payload_ok"] is None for r in others)
+
+    # crash-repair: the verify job pipelines one round behind the commit, so
+    # a crash can leave a committed round's payload delta partial or missing
+    # — resume must recompute it (payload is derived, hence repairable)
+    import os
+    import shutil
+
+    before = sorted(
+        (r["seq"], r["phash"], r["phash_decoded"], r["psnr"], r["payload_ok"])
+        for r in img_rows)
+    gone = res.warehouse.round_dir("payload", res.rounds)  # drop a whole delta
+    shutil.rmtree(gone)
+    partial = res.warehouse.round_dir("payload", max(1, res.rounds - 1))
+    os.remove(os.path.join(partial, "_SUCCESS"))  # and mark one partial
+    eng2 = CrawlEngine(spark, cfg, web, images, robots, corpus_params=p)
+    eng2.resume_state()
+    assert os.path.exists(os.path.join(gone, "_SUCCESS"))
+    assert os.path.exists(os.path.join(partial, "_SUCCESS"))
+    log2 = res.fetched_log(spark)
+    after = sorted(
+        (r["seq"], r["phash"], r["phash_decoded"], r["psnr"], r["payload_ok"])
+        for r in log2.where(
+            "image_id is not null and status = 'downloaded'").collect())
+    assert after == before
