@@ -147,6 +147,38 @@ def _j2_broadcast_lookup(spark, sf):
 
 # ---- training-data pipeline ops ----
 
+def _j3_cache_lookup(spark, sf):
+    """J3/S6 — conditional-GET cache lookup: derive the cache VIEW from a
+    fetched-log-shaped relation (operators/cache.cache_from_fetched_log),
+    then annotate a fetch batch with the latest cached etag / payload ref
+    (with_conditional_headers — semi-join prune, latest-entry window, no
+    full-cache shuffle). Reference: getRequestOptions If-None-Match
+    (crawler.js:≈L1160–1200) over cacheindex.json (cache-backend-fs.js:≈L60).
+    The fetched log is synthesized from `orders` so URLs collide across
+    rounds (window exercised) and some batch URLs have no downloaded entry
+    (null-miss path exercised)."""
+    from simplecrawler_spark.operators.cache import (cache_from_fetched_log,
+                                                     with_conditional_headers)
+    o = _t(spark, sf, "orders")
+    fetched = (o.select(
+        F.concat(F.lit("http://h"), (F.col("o_custkey") % 50).cast("string"),
+                 F.lit(".example/p/"),
+                 (F.col("o_orderkey") % 1000).cast("string")).alias("url_norm"),
+        F.col("o_orderkey").cast("int").alias("round_fetched"),
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.concat(F.lit("img"), F.col("o_orderkey").cast("string"))
+               ).alias("image_id"),
+        ((F.col("o_orderkey") * 37) % 100000).cast("long").alias("body_size"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("downloaded"))
+        .otherwise(F.lit("failed")).alias("status"),
+        "o_orderkey")
+        .withColumn("url_hash", F.md5("url_norm")))
+    cache = cache_from_fetched_log(fetched)
+    batch = (fetched.where(F.col("o_orderkey") % 5 == 0)
+             .select("url_hash").distinct())
+    return with_conditional_headers(batch, cache).orderBy("url_hash")
+
+
 def _dedup_exact(spark, sf):
     from simplecrawler_spark.pipeline.dedup import exact_dupes
     return exact_dupes(_t(spark, sf, "documents"))
@@ -253,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_host_budget": _w2_host_budget,
         "j1_seen_antijoin": _j1_seen_antijoin,
         "j2_broadcast_lookup": _j2_broadcast_lookup,
+        "j3_cache_lookup": _j3_cache_lookup,
         "j4_fetch_join": _j4_fetch_join,
         "u3_first_wins": _u3_first_wins,
         "a1_queue_stats": _a1_queue_stats,
@@ -303,6 +336,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "j2_broadcast_lookup": (
             "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "j3_cache_lookup": (
+            "WITH fetched AS ("
+            " SELECT 'http://h' || CAST(o_custkey % 50 AS VARCHAR) ||"
+            "  '.example/p/' || CAST(o_orderkey % 1000 AS VARCHAR) AS url_norm,"
+            "  CAST(o_orderkey AS INT) AS round_fetched,"
+            "  CASE WHEN o_orderkey % 3 = 0 THEN 'img' || CAST(o_orderkey AS VARCHAR) END AS image_id,"
+            "  (o_orderkey * 37) % 100000 AS body_size,"
+            "  CASE WHEN o_orderkey % 2 = 0 THEN 'downloaded' ELSE 'failed' END AS status,"
+            "  o_orderkey"
+            " FROM orders), hashed AS ("
+            " SELECT *, md5(url_norm) AS url_hash FROM fetched), cache AS ("
+            " SELECT url_hash,"
+            "  md5(url_norm || '|' || COALESCE(image_id, '') || '|' || CAST(body_size AS VARCHAR)) AS etag,"
+            "  COALESCE(image_id, url_norm) AS payload_ref, round_fetched AS round_cached"
+            " FROM hashed WHERE status = 'downloaded'), latest AS ("
+            " SELECT url_hash, etag, payload_ref FROM ("
+            "  SELECT url_hash, etag, payload_ref,"
+            "   ROW_NUMBER() OVER (PARTITION BY url_hash ORDER BY round_cached DESC) AS rn"
+            "  FROM cache) t WHERE rn = 1), batch AS ("
+            " SELECT DISTINCT url_hash FROM hashed WHERE o_orderkey % 5 = 0)"
+            " SELECT b.url_hash, l.etag AS cached_etag, l.payload_ref AS cached_ref"
+            " FROM batch b LEFT JOIN latest l USING (url_hash) ORDER BY url_hash"
         ),
         "j4_fetch_join": (
             "SELECT n_name, COUNT(*) AS n_orders,"

@@ -65,6 +65,10 @@ def main() -> None:
                     help="forwarded to run_crawl: AQE's per-shuffle query-stage "
                          "barriers are pure serial latency per round (measured "
                          "~12%% at 8 cores); the crawl's partitioning is static")
+    ap.add_argument("--out", default=None,
+                    help="output JSON path (default bench_out/scaling.json; "
+                         "official cells go under bench/results/ so they are "
+                         "committed and judge-verifiable)")
     args = ap.parse_args()
     extra = ["--seeds", str(args.seeds), "--img-frac", str(args.img_frac),
              "--img-sizes", args.img_sizes, "--max-rounds", str(args.max_rounds)]
@@ -103,7 +107,9 @@ def main() -> None:
         "pass_0.8": eff >= 0.8,
     }
     print(json.dumps(summary), flush=True)
-    with open(os.path.join(REPO, "bench_out", "scaling.json"), "w") as f:
+    out = args.out or os.path.join(REPO, "bench_out", "scaling.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
         json.dump({"summary": summary, "detail": results}, f, indent=2, default=str)
 
 
