@@ -176,7 +176,14 @@ def _j3_cache_lookup(spark, sf):
     cache = cache_from_fetched_log(fetched)
     batch = (fetched.where(F.col("o_orderkey") % 5 == 0)
              .select("url_hash").distinct())
-    return with_conditional_headers(batch, cache).orderBy("url_hash")
+    out = with_conditional_headers(batch, cache)
+    # cache misses surface as '' (not NULL): mixed None/str rows break the
+    # comparator's row sort, and the miss path stays value-checked
+    return out.select(
+        "url_hash",
+        F.coalesce("cached_etag", F.lit("")).alias("cached_etag"),
+        F.coalesce("cached_ref", F.lit("")).alias("cached_ref"),
+    ).orderBy("url_hash")
 
 
 def _dedup_exact(spark, sf):
@@ -357,7 +364,8 @@ def oracle_sql() -> dict[str, str]:
             "   ROW_NUMBER() OVER (PARTITION BY url_hash ORDER BY round_cached DESC) AS rn"
             "  FROM cache) t WHERE rn = 1), batch AS ("
             " SELECT DISTINCT url_hash FROM hashed WHERE o_orderkey % 5 = 0)"
-            " SELECT b.url_hash, l.etag AS cached_etag, l.payload_ref AS cached_ref"
+            " SELECT b.url_hash, COALESCE(l.etag, '') AS cached_etag,"
+            "  COALESCE(l.payload_ref, '') AS cached_ref"
             " FROM batch b LEFT JOIN latest l USING (url_hash) ORDER BY url_hash"
         ),
         "j4_fetch_join": (
