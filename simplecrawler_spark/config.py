@@ -69,6 +69,17 @@ class CrawlConfig:
     # cached payload ref (crawler.js:≈L1160–1200, ≈L1360)
     use_cache: bool = False
 
+    # --- outbound request headers (getRequestOptions, crawler.js:≈L1140–1230) ---
+    # customHeaders: user map merged LAST by the fetch seam (overrides the
+    # computed UA/Referer/Accept-Encoding, matching the reference's object
+    # merge order). authUser/authPass → `Authorization: Basic b64(user:pass)`;
+    # proxyUser/proxyPass → `Proxy-Authorization` (useProxy path).
+    custom_headers: dict = field(default_factory=dict)
+    auth_user: str = ""                    # authUser ('' = no Authorization header)
+    auth_pass: str = ""                    # authPass
+    proxy_user: str = ""                   # proxyUser ('' = no Proxy-Authorization)
+    proxy_pass: str = ""                   # proxyPass
+
     # --- robots ---
     respect_robots_txt: bool = True        # respectRobotsTxt
     user_agent: str = "simplecrawler-spark/0.1"

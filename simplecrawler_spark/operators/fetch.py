@@ -218,7 +218,11 @@ def build_request_headers(batch: DataFrame, cfg: CrawlConfig,
     the fetch batch with the outbound request headers the real seam sends —
     ``User-Agent`` (config), ``Cookie`` (jar match by host/path, RFC 6265 §5.4
     ordering, vectorized), ``If-None-Match``/cached payload ref (conditional
-    GET, J3 — see operators/cache.with_conditional_headers).
+    GET, J3 — see operators/cache.with_conditional_headers), ``Referer``
+    (the discovering page), ``Accept-Encoding`` (iff decompress_responses),
+    ``Authorization``/``Proxy-Authorization`` (Basic, from
+    authUser/authPass + proxyUser/proxyPass), and the user's
+    ``customHeaders`` map (merged last by the seam, so it overrides).
 
     ``cookie_rows`` is ``CookieJar.to_rows()`` — a tiny config-scale list
     closed over by the pandas UDF (regenerated per executor; nothing
@@ -244,13 +248,50 @@ def build_request_headers(batch: DataFrame, cfg: CrawlConfig,
         out = out.withColumn("hdr_cookie", cookie_hdr(F.col("host"), path))
     else:
         out = out.withColumn("hdr_cookie", F.lit(None).cast("string"))
+    # Referer: the discovering page (queueItem.referrer); seeds have none
+    out = out.withColumn(
+        "hdr_referer",
+        F.col("referrer") if "referrer" in batch.columns
+        else F.lit(None).cast("string"))
+    # Accept-Encoding advertised iff we will decompress (F7,
+    # decompressResponses — crawler.js:≈L1150,≈L1560)
+    out = out.withColumn(
+        "hdr_accept_encoding",
+        F.lit("gzip, deflate") if cfg.decompress_responses
+        else F.lit(None).cast("string"))
+
+    def _basic(user: str, pw: str) -> str:
+        import base64
+        return "Basic " + base64.b64encode(f"{user}:{pw}".encode()).decode()
+
+    # authUser/authPass and proxyUser/proxyPass (crawler.js:≈L1180–1210):
+    # config-scale literals, computed once on the driver
+    out = out.withColumn(
+        "hdr_authorization",
+        F.lit(_basic(cfg.auth_user, cfg.auth_pass)) if cfg.auth_user
+        else F.lit(None).cast("string"))
+    out = out.withColumn(
+        "hdr_proxy_authorization",
+        F.lit(_basic(cfg.proxy_user, cfg.proxy_pass)) if cfg.proxy_user
+        else F.lit(None).cast("string"))
+    # customHeaders: carried as a map column; the seam merges it LAST so user
+    # entries override computed headers (the reference's object merge order)
+    if cfg.custom_headers:
+        kv = [F.lit(x) for pair in sorted(cfg.custom_headers.items())
+              for x in pair]
+        out = out.withColumn("hdr_custom", F.create_map(*kv))
+    else:
+        out = out.withColumn(
+            "hdr_custom", F.lit(None).cast("map<string,string>"))
     return out.withColumn("hdr_if_none_match", F.col("cached_etag"))
 
 
 def http_fetch(batch: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Real-network fetch seam (S2 on a cluster): mapInPandas batches issuing
     HTTP GETs, using the per-row headers from :func:`build_request_headers`
-    (UA, Cookie, If-None-Match) and sleeping to the W3 pacing offsets from
+    (UA, Cookie, If-None-Match, Referer, Accept-Encoding, Authorization,
+    Proxy-Authorization, customHeaders merged last) and sleeping to the W3
+    pacing offsets from
     :func:`~simplecrawler_spark.operators.pacing.request_start_offsets`
     (interval ticks + per-host crawl-delay spacing — that function is pure
     and unit-tested, so the seam's pacing math is pinned without a network).

@@ -99,25 +99,53 @@ def test_outbound_header_series_matches_scalar():
 
 def test_build_request_headers_join(spark, corpus, tmp_path):
     """Fetch-seam header construction (getRequestOptions analog): UA constant,
-    Cookie from the jar, If-None-Match from the cache table."""
+    Cookie from the jar, If-None-Match from the cache table, Referer from the
+    discovering page, Accept-Encoding iff decompressing, Basic auth/proxy
+    auth from config, customHeaders carried as a map."""
+    import base64
+
     from simplecrawler_spark.config import CrawlConfig
     from simplecrawler_spark.operators.fetch import build_request_headers
 
     batch = spark.createDataFrame(
-        [(1, "http://host0.example/p/0", "host0.example"),
-         (2, "http://host1.example/x/1", "host1.example")],
-        "url_hash long, url_norm string, host string")
+        [(1, "http://host0.example/p/0", "host0.example", None),
+         (2, "http://host1.example/x/1", "host1.example", "http://host0.example/p/0")],
+        "url_hash long, url_norm string, host string, referrer string")
     cache = spark.createDataFrame(
         [(1, "etag-1", 0, "ref-1", 0)],
         "url_hash long, etag string, last_modified long, payload_ref string, round_cached int")
     jar = CookieJar()
     jar.add_from_headers("sid=abc; Path=/x", "host1.example")
-    cfg = CrawlConfig(user_agent="ua-test/1.0")
+    cfg = CrawlConfig(user_agent="ua-test/1.0",
+                      auth_user="bob", auth_pass="pw",
+                      proxy_user="prx", proxy_pass="",
+                      custom_headers={"X-Trace": "t1", "User-Agent": "override/2"})
     out = {r["url_hash"]: r for r in
            build_request_headers(batch, cfg, jar.to_rows(), cache).collect()}
     assert out[1]["hdr_user_agent"] == "ua-test/1.0"
     assert out[1]["hdr_if_none_match"] == "etag-1" and out[2]["hdr_if_none_match"] is None
     assert out[2]["hdr_cookie"] == "sid=abc" and out[1]["hdr_cookie"] is None
+    # Referer: null for seeds, the discovering page otherwise
+    assert out[1]["hdr_referer"] is None
+    assert out[2]["hdr_referer"] == "http://host0.example/p/0"
+    # Accept-Encoding advertised iff decompress_responses (default True)
+    assert out[1]["hdr_accept_encoding"] == "gzip, deflate"
+    # Basic auth is RFC 7617 base64(user:pass)
+    assert out[1]["hdr_authorization"] == \
+        "Basic " + base64.b64encode(b"bob:pw").decode()
+    assert out[1]["hdr_proxy_authorization"] == \
+        "Basic " + base64.b64encode(b"prx:").decode()
+    # customHeaders ride as a map (merged last by the seam => may override UA)
+    assert out[2]["hdr_custom"] == {"X-Trace": "t1", "User-Agent": "override/2"}
+
+    # knobs off => headers absent (null), no Authorization sent
+    plain = {r["url_hash"]: r for r in
+             build_request_headers(batch, CrawlConfig(decompress_responses=False),
+                                   None, cache).collect()}
+    assert plain[1]["hdr_authorization"] is None
+    assert plain[1]["hdr_proxy_authorization"] is None
+    assert plain[1]["hdr_accept_encoding"] is None
+    assert plain[1]["hdr_custom"] is None
 
 
 def test_cache_delta_shape(spark, corpus, tmp_path):
