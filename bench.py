@@ -45,7 +45,9 @@ def bench_corpus_dir(spark, n_urls: int) -> tuple[str, object]:
     from simplecrawler_spark.corpus import CorpusParams, write_corpus
 
     p = CorpusParams(n_urls=n_urls, n_hosts=max(n_urls // 2000, 8), seed=42, frac_image=0.08)
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_bench_corpus_{n_urls}_{p.seed}")
+    # "_b32" = corpus layout version (url_norm-bucketed web table): never
+    # silently reuse a cached pre-bucketing corpus
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_bench_corpus_{n_urls}_{p.seed}_b32")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         if os.path.isdir(d):

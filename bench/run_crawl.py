@@ -54,7 +54,10 @@ def main() -> None:
     sizes = tuple(int(x) for x in args.img_sizes.split(","))
     p = CorpusParams(n_urls=args.urls, n_hosts=max(args.urls // 2000, 8),
                      seed=42, frac_image=args.img_frac, img_sizes=sizes)
-    key = f"{args.urls}_{p.seed}_{args.img_frac}_{args.img_sizes.replace(',', 'x')}"
+    # "b32": corpus layout version — web table bucketed by url_norm (32
+    # buckets, one sorted file each); older unbucketed corpora at the same
+    # params must not be silently reused
+    key = f"{args.urls}_{p.seed}_{args.img_frac}_{args.img_sizes.replace(',', 'x')}_b32"
     corpus = args.corpus or os.path.join(
         tempfile.gettempdir(), f"spark_graft_bench_corpus_{key}")
     # IMPORTANT: shuffle partitioning is part of the PLAN, not the cluster —
@@ -99,7 +102,8 @@ def main() -> None:
     )
     t0 = time.time()
     from simplecrawler_spark.plans.crawl import CrawlEngine
-    web = spark.read.parquet(f"{corpus}/web")
+    from simplecrawler_spark.corpus import read_web
+    web = read_web(spark, corpus)
     images = spark.read.parquet(f"{corpus}/images") if args.images else None
     robots = spark.read.parquet(f"{corpus}/robots")
     eng = CrawlEngine(spark, cfg, web, images, robots, corpus_params=p)

@@ -53,7 +53,8 @@ class Crawler:
             seeds = [seeds]
         self.cfg = CrawlConfig(seeds=list(seeds), **options)
         if corpus_dir is not None:
-            web = spark.read.parquet(f"{corpus_dir}/web")
+            from simplecrawler_spark.corpus import read_web
+            web = read_web(spark, corpus_dir)
             import os
             if os.path.isdir(f"{corpus_dir}/robots"):
                 robots = spark.read.parquet(f"{corpus_dir}/robots")

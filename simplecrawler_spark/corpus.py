@@ -14,6 +14,7 @@ hot-host skew is built in (W2 skew-split tests rely on it).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -37,6 +38,7 @@ class CorpusParams:
     mean_degree: float = 6.0       # lognormal out-degree for HTML pages
     frac_private: float = 0.08     # URLs under /private/ (robots-denied on deny_private hosts)
     img_sizes: tuple = (16, 32, 64)
+    web_buckets: int = 32          # url_norm bucketing of the web table (fetch-join locality)
 
     def host_bounds(self) -> np.ndarray:
         w = 1.0 / np.power(np.arange(1, self.n_hosts + 1), self.zipf_s)
@@ -326,6 +328,37 @@ WEB_SCHEMA = (
 IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
 
 
+def read_web(spark, corpus_dir: str):
+    """Read the corpus web table WITH its bucket metadata when present.
+
+    ``write_corpus`` lays the web table out as plain parquet files bucketed
+    by ``url_norm`` and records the spec in ``web/_BUCKET_SPEC.json``. A
+    fresh session can't know the layout from the files alone, so this
+    re-registers an external table with the matching ``CLUSTERED BY`` DDL —
+    the fetch join (operators/fetch.py) then reads the corpus bucket-locally
+    with no exchange on the corpus side. Falls back to a plain parquet read
+    for corpora without the spec (hand-built fixtures, older corpora)."""
+    import hashlib
+    import json as _json
+
+    d = os.path.abspath(os.path.join(corpus_dir, "web"))
+    spec_path = os.path.join(d, "_BUCKET_SPEC.json")
+    if not os.path.exists(spec_path):
+        return spark.read.parquet(d)
+    with open(spec_path) as f:
+        spec = _json.load(f)
+    name = "web_bkt_" + hashlib.md5(d.encode()).hexdigest()[:12]
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} ({spec['schema']}) USING PARQUET "
+            f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']}) "
+            f"INTO {spec['buckets']} BUCKETS LOCATION '{d}'")
+    # same path may have been rewritten within this session (tests): drop
+    # any cached file listing before handing the relation out
+    spark.catalog.refreshTable(name)
+    return spark.table(name)
+
+
 def write_corpus(spark, out_dir: str, p: CorpusParams, partitions: int | None = None) -> None:
     """Distributed generation → parquet at ``out_dir``/{web,images,robots}."""
     nparts = partitions or max(1, min(64, p.n_urls // 2000 + 1))
@@ -338,7 +371,28 @@ def write_corpus(spark, out_dir: str, p: CorpusParams, partitions: int | None = 
         spark.range(0, p.n_urls, 1, nparts)
         .mapInPandas(gen_web, schema=WEB_SCHEMA)
     )
-    web.write.mode("overwrite").parquet(f"{out_dir}/web")
+    # The web table is BUCKETED by the fetch-join key (url_norm): every crawl
+    # round equi-joins its batch against this table, and a bucketed corpus
+    # side makes that join bucket-local — only the (much smaller) batch side
+    # shuffles, the corpus never does. At the 100 TB design point this is the
+    # difference between re-shuffling the whole snapshot every round and a
+    # one-time layout cost at ingest. repartition on the SAME hash expression
+    # bucketBy uses (pmod(murmur3, n)) → exactly one file per bucket, which
+    # also lets Spark trust the per-bucket sort (no sort before the merge
+    # join). Files remain plain parquet — spark.read.parquet works unchanged;
+    # read_web() recreates the bucket metadata from _BUCKET_SPEC.json.
+    import json as _json
+    import uuid as _uuid
+    tmp_tbl = f"web_bucketed_tmp_{_uuid.uuid4().hex[:8]}"
+    (web.repartition(p.web_buckets, "url_norm")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(p.web_buckets, "url_norm").sortBy("url_norm")
+        .option("path", os.path.abspath(f"{out_dir}/web"))
+        .saveAsTable(tmp_tbl))
+    spark.sql(f"DROP TABLE {tmp_tbl}")  # external: data files stay
+    with open(f"{out_dir}/web/_BUCKET_SPEC.json", "w") as f:
+        _json.dump({"buckets": p.web_buckets, "key": "url_norm",
+                    "schema": WEB_SCHEMA}, f)
     web = spark.read.parquet(f"{out_dir}/web")
 
     def gen_images(batches):

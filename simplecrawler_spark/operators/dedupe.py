@@ -13,9 +13,11 @@ membership structure:
           all residue (north_rule verification tier, BASELINE.json:14);
   tier 3  **exact probe** of the bucket's ``url_seen`` parquet deltas via a
           pyarrow predicate read *inside the same executor task* — no
-          shuffle of the (huge) seen table, ever. The candidate side is
-          grouped by ``bucket = pmod(url_hash, P)`` so each task touches
-          exactly one bucket's sidecars + files.
+          shuffle of the (huge) seen table, ever — and no shuffle of the
+          candidates either: ``bucket = pmod(hash(url_hash, url_norm), P)``
+          is Spark's own shuffle hash over the in-batch dedupe's group keys,
+          so the probe rides the dedupe aggregation's existing exchange
+          (partition i == bucket i when P == shuffle partitions).
 
 ``dedupe_mode="exact"`` bypasses the tiers with a plain left-anti join
 (small-scale truth baseline; parity tests assert tiered ≡ exact).
@@ -187,7 +189,17 @@ def arrow_schema_for(spark_schema) -> "pyarrow.Schema":
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
-    return df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+    """Seen-table bucket id. Deliberately ``pmod(hash(url_hash, url_norm), P)``
+    — Spark's OWN shuffle hash (murmur3, seed 42) over the in-batch dedupe's
+    group keys — so when ``n_buckets == spark.sql.shuffle.partitions`` the
+    dedupe aggregation's output partition i contains EXACTLY bucket i and the
+    membership probe (:func:`filter_new`) rides the same exchange: one
+    sidecar set per task, zero extra shuffles. Correctness never depends on
+    that alignment (the probe loads sidecars per bucket present in its
+    partition); only locality does."""
+    return df.withColumn(
+        "bucket",
+        F.pmod(F.hash("url_hash", "url_norm"), F.lit(n_buckets)).cast("int"))
 
 
 def filter_new(
@@ -221,36 +233,57 @@ def filter_new(
     schema = cands.schema
     paths = list(seen_paths)
 
-    def probe(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(key[0])
-        h = pdf["url_hash"].to_numpy()
-        bits, table = load_sidecars(warehouse_root, bucket, bloom_bytes, nb)
-        maybe = bloom_check(bits, h, k)
-        if maybe.any():
-            maybe[maybe] &= cuckoo_check(table, h[maybe])
-        if maybe.any():
-            files = []
-            for p in paths:
-                d = os.path.join(p, f"bucket={bucket}")
-                if os.path.isdir(d):
-                    files += [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
-            if files:
-                # hash-pruned read, then confirm on the full URL string —
-                # tiers 1–3 by hash are prefilters; membership is by url_norm
-                # (the reference's _scanIndex keys on the URL itself)
-                ds = pads.dataset(files, format="parquet")
-                tbl = ds.to_table(
-                    columns=["url_hash", "url_norm"],
-                    filter=pads.field("url_hash").isin(pd.unique(h[maybe])),
-                )
-                seen_set = set(tbl.column("url_norm").to_pylist())
-                maybe[maybe] &= pd.Series(
-                    pdf["url_norm"].to_numpy()[maybe]).isin(seen_set).to_numpy()
-            else:
-                maybe[:] = False
-        return pdf[~maybe]
+    # mapInPandas, NOT groupBy("bucket").applyInPandas: the probe only READS
+    # sidecars (single-writer exclusivity is register_new's concern), so it
+    # needs no bucket-exclusive tasks — it runs on whatever partitioning the
+    # upstream dedupe aggregation already produced, removing one full-row
+    # exchange + a sort-based grouping per round. with_bucket() aligns
+    # partition↔bucket when n_buckets == shuffle partitions, so each task
+    # still touches ONE bucket's sidecars/files in the common case.
+    def probe_frames(frames):
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in frames:
+            if not len(pdf):
+                continue
+            hall = pdf["url_hash"].to_numpy()
+            drop = np.zeros(len(pdf), dtype=bool)
+            for bucket, idx in pdf.groupby("bucket", sort=False).indices.items():
+                b = int(bucket)
+                if b not in cache:
+                    cache[b] = load_sidecars(warehouse_root, b, bloom_bytes, nb)
+                bits, table = cache[b]
+                h = hall[idx]
+                maybe = bloom_check(bits, h, k)
+                if maybe.any():
+                    maybe[maybe] &= cuckoo_check(table, h[maybe])
+                if maybe.any():
+                    files = []
+                    for p in paths:
+                        d = os.path.join(p, f"bucket={b}")
+                        if os.path.isdir(d):
+                            files += [os.path.join(d, f) for f in os.listdir(d)
+                                      if f.endswith(".parquet")]
+                    if files:
+                        # hash-pruned read, then confirm on the full URL
+                        # string — tiers 1–3 by hash are prefilters;
+                        # membership is by url_norm (the reference's
+                        # _scanIndex keys on the URL itself)
+                        ds = pads.dataset(files, format="parquet")
+                        tbl = ds.to_table(
+                            columns=["url_hash", "url_norm"],
+                            filter=pads.field("url_hash").isin(pd.unique(h[maybe])),
+                        )
+                        seen_set = set(tbl.column("url_norm").to_pylist())
+                        urls = pdf["url_norm"].to_numpy()[idx]
+                        maybe[maybe] &= pd.Series(urls[maybe]).isin(seen_set).to_numpy()
+                    else:
+                        maybe[:] = False
+                drop[idx[maybe]] = True
+            out = pdf[~drop]
+            if len(out):
+                yield out
 
-    return cands.groupBy("bucket").applyInPandas(probe, schema=schema)
+    return cands.mapInPandas(probe_frames, schema=schema)
 
 
 def register_new(

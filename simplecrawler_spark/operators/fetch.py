@@ -41,16 +41,14 @@ _OPTIONAL_COL_TYPES = {"content_length": "long",
 
 def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None,
                 extra_cols: list[str] | None = None) -> DataFrame:
-    """batch ⋈ web (left outer in effect): broadcast the batch side when it
-    is genuinely small (driver collect + rebroadcast is per-round *serial*
-    time), otherwise let AQE pick a shuffled join from runtime stats.
+    """batch ⋈ web (left outer in effect). Small batches broadcast the batch
+    side (inner + anti for misses — a left-outer can't broadcast its
+    preserved side); large batches run ONE left-outer merge join. When the
+    web table carries its url_norm bucket metadata (corpus.read_web), the
+    corpus side streams bucket-locally — no exchange, no sort — and only the
+    batch side shuffles, which is the layout a 100 TB snapshot would use.
     Misses (URL not in "the internet") surface with ``found=false`` → status
     ``failed`` (reference ``fetcherror``)."""
-    # broadcast only genuinely small batches: the broadcast build is a
-    # driver-side collect + re-serialize — pure SERIAL time per round, the
-    # enemy of the N→4N efficiency gate. Above ~100k rows a shuffled join
-    # costs more total work but all of it scales with executors.
-    b = F.broadcast(batch) if (batch_rows is None or batch_rows <= 100_000) else batch
     # telemetry/failure columns are optional on the web table (older corpora /
     # hand-built fixtures): absent ones surface as nulls. ``extra_cols``
     # (e.g. raw body + content_encoding in HTML-discovery mode) are selected
@@ -60,13 +58,27 @@ def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None,
     wsel = [F.col(c) if c in web.columns
             else F.lit(None).cast(_OPTIONAL_COL_TYPES[c]).alias(c)
             for c in cols]
-    hits = web.select(*wsel).join(b, "url_norm")
-    misses = batch.join(hits.select("url_norm"), "url_norm", "left_anti")
-    for c in cols[1:]:
-        misses = misses.withColumn(c, F.lit(None).cast(hits.schema[c].dataType))
-    return hits.withColumn("found", F.lit(True)).unionByName(
-        misses.withColumn("found", F.lit(False))
-    )
+    wside = web.select(*wsel)
+    if batch_rows is None or batch_rows <= 100_000:
+        # broadcast only genuinely small batches: the broadcast build is a
+        # driver-side collect + re-serialize — pure SERIAL time per round.
+        # A left-outer can't broadcast its preserved (batch) side, so small
+        # batches use broadcast-inner + anti-join for the misses; the anti's
+        # probe side is column-pruned to url_norm by Catalyst.
+        hits = wside.join(F.broadcast(batch), "url_norm")
+        misses = batch.join(hits.select("url_norm"), "url_norm", "left_anti")
+        for c in cols[1:]:
+            misses = misses.withColumn(c, F.lit(None).cast(hits.schema[c].dataType))
+        return hits.withColumn("found", F.lit(True)).unionByName(
+            misses.withColumn("found", F.lit(False))
+        )
+    # large batch: ONE left-outer shuffle join. The old inner + anti-join
+    # shape executed the web⋈batch join twice (the anti's right side is the
+    # hits subtree), scanning AND shuffling the corpus twice per round —
+    # pure bus traffic at exactly the volumes the N→4N gate measures.
+    # Misses surface with the web-side columns null, found=false.
+    out = batch.join(wside.withColumn("found", F.lit(True)), "url_norm", "left")
+    return out.withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
 
 
 def classify(outcomes: DataFrame, cfg: CrawlConfig,

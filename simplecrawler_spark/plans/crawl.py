@@ -26,6 +26,7 @@ import tempfile
 import threading
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -365,7 +366,9 @@ class CrawlEngine:
             # zero-admission rounds write no deltas at all — round_paths()
             # skips missing dirs, and a limit(0) write would let Catalyst
             # prune the observe node (breaking the free counters below)
-            numbered = numbered.persist()
+            # (numbered is consumed exactly once, by the write below — it
+            # recomputes from the persisted `new`, so no persist here: a
+            # one-consumer cache is pure memory-store traffic)
             # ONE unified delta: the frontier log and the url_seen table are
             # the same rows (as the reference's queue and _scanIndex share
             # entries) — a single bucket-partitioned write serves scheduling
@@ -379,7 +382,6 @@ class CrawlEngine:
                 dd.with_bucket(queued, cfg.n_buckets) \
                     .write.mode("overwrite").partitionBy("bucket").parquet(self.wh.round_dir("seen", rnd))
             t = self._tick("frontier_seen_write", t)
-            numbered.unpersist()
 
         try:
             counters = obs.get  # populated by the dedupe/assign pass; no extra job
@@ -499,11 +501,22 @@ class CrawlEngine:
         # force=true (queue.js:≈L90): forced seeds ride the same admission
         # pass but carry force=True — the in-batch dedupe gives each a unique
         # group key, so they enqueue even as true duplicates (re-fetch)
-        rows = [(-1, i, u, 1, None, False) for i, u in enumerate(canon)]
-        rows += [(-1, len(canon) + j, u, 1, None, True) for j, u in enumerate(forced)]
+        # Arrow-batched driver→JVM transfer: a plain createDataFrame(list of
+        # tuples) pickles row-by-row — ~10 s of pure driver-serial time at a
+        # 800k-seed wide crawl, paid identically at every parallelism level
+        # (the efficiency gate's worst kind of cost)
+        n_c, n_f = len(canon), len(forced)
+        pdf = pd.DataFrame({
+            "parent_seq": np.full(n_c + n_f, -1, dtype=np.int64),
+            "link_idx": np.arange(n_c + n_f, dtype=np.int32),
+            "url_norm": pd.Series(canon + forced, dtype=object),
+            "depth": np.ones(n_c + n_f, dtype=np.int32),
+            "referrer": pd.Series([None] * (n_c + n_f), dtype=object),
+            "force": np.concatenate([np.zeros(n_c, bool), np.ones(n_f, bool)]),
+        })
         cands = self.spark.createDataFrame(
-            rows, "parent_seq long, link_idx int, url_norm string, depth int, "
-                  "referrer string, force boolean"
+            pdf, "parent_seq long, link_idx int, url_norm string, depth int, "
+                 "referrer string, force boolean"
         )
         cands = _with_host_hash(cands)
         n_new, metrics_rows = self._admit_dedupe_assign(cands, 0, 0, None, bounds=(-1, -1))
@@ -659,7 +672,13 @@ class CrawlEngine:
                 # D5 cursor, fully declarative.)
                 n_batch = min(cfg.budget, n_left)
                 b_lo, b_hi = watermark, watermark + n_batch - 1
-                batch = remaining.where(F.col("seq") <= b_hi).persist()
+                batch = remaining.where(F.col("seq") <= b_hi)
+                if n_batch <= 100_000:
+                    # small batches feed TWO subtrees (broadcast-inner hits +
+                    # anti-join misses, operators/fetch.py) — cache the pruned
+                    # frontier read. Large batches flow through ONE left-outer
+                    # join; caching them is pure memory-store traffic.
+                    batch = batch.persist()
             else:
                 batch = select_batch(remaining, cfg.budget, cfg.host_budget,
                                      cfg.hot_host_threshold, cfg.n_salts,
@@ -908,7 +927,8 @@ class CrawlEngine:
 def run_crawl(spark: SparkSession, cfg: CrawlConfig, corpus_dir: str,
               resume: bool = False, fetch_conditions=None, download_conditions=None,
               corpus_params=None, with_images: bool = True) -> CrawlResult:
-    web = spark.read.parquet(f"{corpus_dir}/web")
+    from simplecrawler_spark.corpus import read_web
+    web = read_web(spark, corpus_dir)
     images = spark.read.parquet(f"{corpus_dir}/images") if with_images and os.path.isdir(
         f"{corpus_dir}/images") else None
     robots = spark.read.parquet(f"{corpus_dir}/robots") if os.path.isdir(

@@ -26,6 +26,13 @@ def get_spark(app: str = "simplecrawler-spark", master: str = "local[4]",
         # occupancy (bench_out/scaling.json, BENCH.md §2). On a cluster,
         # re-enable it per-job if scans dominate and partitions are tiny.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # the corpus web table is bucketed AND per-bucket sorted by url_norm
+        # with exactly one file per bucket (corpus.write_corpus) — honoring
+        # the scan's sort order lets the per-round fetch join stream the
+        # corpus side straight into the merge join: no exchange, no sort,
+        # no full-bucket buffering. Off by default since Spark 3.0 because
+        # multi-file buckets would interleave; ours are single-file.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bounded Arrow batches: binary payload rows can be 10-100 KB each,
         # so 4096 rows keeps Spark→Python transfers in the tens of MB

@@ -66,6 +66,59 @@ def test_fetch_join_broadcasts_batch_side_not_corpus(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fetch_join_large_batch_is_bucket_local_left_outer(spark, tmp_path):
+    """Large batches (> broadcast cutoff) must fetch-join the bucketed web
+    table with (a) ONE left-outer join — not the inner+anti shape that scans
+    and shuffles the corpus twice — and (b) no exchange and no sort on the
+    corpus side (url_norm-bucketed, per-bucket-sorted, one file per bucket)."""
+    from simplecrawler_spark.corpus import CorpusParams, read_web, write_corpus
+    from simplecrawler_spark.operators.fetch import fetch_batch
+
+    d = str(tmp_path / "c")
+    write_corpus(spark, d, CorpusParams(n_urls=300, n_hosts=3, seed=45))
+    web = read_web(spark, d)
+    batch = web.select("url_norm").limit(10).select(
+        "url_norm", F.lit(0).cast("long").alias("seq"), F.lit(1).alias("depth"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(fetch_batch(batch, web, batch_rows=200_000))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan and "LeftOuter" in plan
+    assert plan.count("Scan parquet") == 2  # batch source + web, never a 3rd
+    # corpus side: bucketed scan feeds the merge join directly — the ONLY
+    # exchange in the plan belongs to the (small) batch side, and the only
+    # sorts are the two merge-join inputs minus the web side's (elided via
+    # the single-file-per-bucket sorted layout)
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # exactly ONE sort — the batch side's; the web side's is elided by the
+    # sorted single-file-per-bucket layout (session.py legacy outputOrdering)
+    assert plan.count(" Sort [") == 1
+
+
+def test_tiered_probe_adds_no_exchange(spark, tmp_path):
+    """filter_new(tiered) must ride the upstream dedupe aggregation's
+    exchange — the probe only reads sidecars, so it needs no bucket-exclusive
+    shuffle of its own (bucket ids are aligned to Spark's shuffle hash)."""
+    from simplecrawler_spark.operators import dedupe as dd
+
+    cands = (spark.range(200)
+             .select(F.concat(F.lit("http://h/"), F.col("id")).alias("url_norm"),
+                     F.xxhash64(F.concat(F.lit("http://h/"), F.col("id"))).alias("url_hash"),
+                     F.lit(0).cast("long").alias("parent_seq"),
+                     F.col("id").cast("int").alias("link_idx")))
+    first = (cands.groupBy("url_hash", "url_norm")
+             .agg(F.min_by(F.struct("parent_seq", "link_idx"),
+                           F.struct("parent_seq", "link_idx")).alias("_s"))
+             .select("url_hash", "url_norm", "_s.*"))
+    new = dd.filter_new(first, str(tmp_path), [], 8, seen_capacity=10_000,
+                        bits_per_key=10, mode="tiered", spark=spark)
+    plan = _plan(new)
+    assert plan.count("Exchange hashpartitioning") == 1  # the agg's own
+
+
 def test_anti_join_no_cartesian(spark):
     df = entry_mod.queries()["j1_seen_antijoin"](spark, SF)
     plan = _plan(df)
