@@ -91,8 +91,14 @@ def robots_allows(path: str, disallow: list[str] | None, allow: list[str] | None
 def robots_allows_batch(
     paths: pd.Series, hosts: pd.Series, disallow: pd.Series, allow: pd.Series
 ) -> pd.Series:
-    """Vectorized batch evaluation: compile each host's ruleset once, test
-    that host's paths as a group (C-speed regex over numpy object arrays)."""
+    """Vectorized batch evaluation: group rows by host, then apply each of
+    the host's rules ONCE over the whole group with pandas ``str.match``
+    (C-speed regex) and fold the longest-match bookkeeping with numpy —
+    per-rule × per-group vectorized passes, never per-row Python (the old
+    per-row loop cost ~2 µs × millions of candidates per round). Semantics
+    are pinned to the scalar :func:`robots_allows` (cross-checked in
+    tests): disallow beats shorter matches, allow wins ties, no match →
+    allowed."""
     n = len(paths)
     out = np.ones(n, dtype=bool)
     pv, hv = paths.to_numpy(), hosts.to_numpy()
@@ -106,8 +112,24 @@ def robots_allows_batch(
             j += 1
         idx = order[i:j]
         d, a = dv[idx[0]], av[idx[0]]
-        if (d is not None and len(d)) or (a is not None and len(a)):
-            for k in idx:
-                out[k] = robots_allows(pv[k], list(d) if d is not None else [], list(a) if a is not None else [])
+        d = list(d) if d is not None else []
+        a = list(a) if a is not None else []
+        if d or a:
+            grp = pd.Series(pv[idx], dtype=object)
+            best_len = np.full(len(idx), -1, dtype=np.int64)
+            best_allow = np.ones(len(idx), dtype=bool)
+            for rule in d:
+                m = grp.str.match(_rule_regex(rule)).to_numpy()
+                spec = _specificity(rule)
+                upd = m & (spec > best_len)
+                best_len[upd] = spec
+                best_allow[upd] = False
+            for rule in a:
+                m = grp.str.match(_rule_regex(rule)).to_numpy()
+                spec = _specificity(rule)
+                upd = m & (spec >= best_len)
+                best_len[upd] = spec
+                best_allow[upd] = True
+            out[idx] = best_allow
         i = j
     return pd.Series(out)

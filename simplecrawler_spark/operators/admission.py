@@ -122,19 +122,60 @@ def eval_condition_py(item: dict, spec: list[dict]) -> bool:
     return True
 
 
-def robots_allowed_col(cands: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """P2 — broadcast-join per-host rules, vectorized longest-match UDF.
+def robots_rules_simple(robots: DataFrame | None) -> bool:
+    """True iff no rule in the relation uses ``*``/``$`` — i.e. every rule
+    is a plain path prefix and longest-match is expressible with JVM
+    built-ins. One tiny job over the (broadcast-sized) rules relation;
+    the engine caches the answer per robots load."""
+    if robots is None:
+        return True
+    wild = (lambda c: F.exists(
+        F.coalesce(F.col(c), F.array().cast("array<string>")),
+        lambda r: r.contains("*") | r.contains("$")))
+    row = robots.select(
+        F.max(F.when(wild("disallow") | wild("allow"), 1).otherwise(0)).alias("w")
+    ).collect()
+    return not row or row[0]["w"] != 1
+
+
+def robots_allowed_col(cands: DataFrame, robots: DataFrame, cfg: CrawlConfig,
+                       rules_simple: bool = False) -> DataFrame:
+    """P2 — broadcast-join per-host rules, longest-match evaluation.
     Adds a boolean ``robots_ok`` column. Hosts absent from the robots table
-    are allowed (reference: no robots.txt → allow)."""
+    are allowed (reference: no robots.txt → allow).
+
+    Two evaluation paths, same pinned semantics (robots_allows):
+
+    * ``rules_simple=True`` (caller proved no rule contains ``*``/``$`` —
+      :func:`robots_rules_simple`): pure-JVM whole-stage-codegen expression
+      — a matching rule is a ``startswith`` prefix and its specificity is
+      its length, so RFC 9309 longest-match folds into two
+      ``aggregate(filter(...))`` calls. No Python stage, no Arrow transfer
+      of the per-row rule arrays — this gate runs over EVERY discovered
+      candidate each round (the engine's widest row stream).
+    * otherwise: the vectorized pandas UDF (per-rule × per-host-group regex
+      passes) that handles wildcard rules.
+    """
     if not cfg.respect_robots_txt or robots is None:
         return cands.withColumn("robots_ok", F.lit(True))
     joined = cands.join(F.broadcast(robots), "host", "left")
+    path = F.regexp_replace(joined.url_norm, r"^https?://[^/]+", "")
+    if rules_simple:
+        empty = F.array().cast("array<string>")
+        dis = F.coalesce(F.col("disallow"), empty)
+        alw = F.coalesce(F.col("allow"), empty)
+        best = lambda arr: F.aggregate(  # noqa: E731
+            F.filter(arr, lambda r: path.startswith(r)),
+            F.lit(-1), lambda acc, r: F.greatest(acc, F.length(r)))
+        # allow wins ties; no matching rule (-1 vs -1) → allowed
+        ok = best(alw) >= best(dis)
+        return joined.withColumn("robots_ok", ok).drop(
+            "disallow", "allow", "crawl_delay")
 
     @F.pandas_udf(BooleanType())
     def allowed(path: pd.Series, host: pd.Series, disallow: pd.Series, allow: pd.Series) -> pd.Series:
         return robots_allows_batch(path, host, disallow, allow)
 
-    path = F.regexp_replace(joined.url_norm, r"^https?://[^/]+", "")
     return (
         joined.withColumn("robots_ok", allowed(path, F.col("host"), F.col("disallow"), F.col("allow")))
         .drop("disallow", "allow", "crawl_delay")
@@ -142,12 +183,15 @@ def robots_allowed_col(cands: DataFrame, robots: DataFrame, cfg: CrawlConfig) ->
 
 
 def admit(cands: DataFrame, robots: DataFrame, cfg: CrawlConfig, seed_hosts: list[str],
-          fetch_conditions: list[dict] | None = None) -> DataFrame:
+          fetch_conditions: list[dict] | None = None,
+          robots_simple: bool = False) -> DataFrame:
     """Gate in A.2 order; adds ``reject`` = first failing gate (null = pass).
 
     Expected candidate columns: url_norm, host, depth (already canonical).
+    ``robots_simple``: caller-proved "no wildcard rules" flag
+    (:func:`robots_rules_simple`) enabling the pure-JVM robots gate.
     """
-    df = robots_allowed_col(cands, robots, cfg)
+    df = robots_allowed_col(cands, robots, cfg, rules_simple=robots_simple)
     depth_ok = (
         F.lit(True)
         if cfg.max_depth <= 0

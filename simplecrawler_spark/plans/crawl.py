@@ -34,7 +34,7 @@ from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.functions.canonicalize import canonicalize_one
 from simplecrawler_spark.functions.links import clean_expand_series
 from simplecrawler_spark.operators import dedupe as dd
-from simplecrawler_spark.operators.admission import admit, seed_host_set
+from simplecrawler_spark.operators.admission import admit, robots_rules_simple, seed_host_set
 from simplecrawler_spark.operators.fetch import classify, fetch_batch, verify_payloads
 from simplecrawler_spark.operators.scheduler import assign_seq, select_batch
 from simplecrawler_spark.storage.compaction import plan_and_compact, read_warehouse_table
@@ -176,6 +176,7 @@ class CrawlEngine:
         self.compacts: dict[str, list[int]] = {}  # live compaction levels per table
         self.phase_secs: dict[str, float] = {}  # perf diagnostics per phase
         self._payload_done = 0  # payload table verified through this round
+        self._robots_simple: bool | None = None  # None = not yet probed
 
     def _tick(self, phase: str, t0: float) -> float:
         import time as _t
@@ -341,7 +342,12 @@ class CrawlEngine:
             # upstream) is not executed twice in one round
             cands = cands.persist()
             self._lazy_robots_update(cands, rnd)
-        gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions)
+        if self._robots_simple is None:
+            # probe once per robots load: wildcard-free rules unlock the
+            # pure-JVM robots gate (operators/admission.robots_allowed_col)
+            self._robots_simple = robots_rules_simple(self.robots)
+        gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions,
+                      robots_simple=self._robots_simple)
         # admission counters ride along with the first downstream action —
         # zero extra jobs (Spark Observation; one pass, A.2 single-scan)
         reasons = ["protocol", "invaliddomain", "fetchdisallowed", "depth", "fetchprevented"]
@@ -491,6 +497,7 @@ class CrawlEngine:
             return
         old = self.robots
         self.robots = df.select("host", "disallow", "allow", "crawl_delay").persist()
+        self._robots_simple = None  # new rules may introduce wildcards
         if old is not None:
             old.unpersist()
 

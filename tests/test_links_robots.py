@@ -173,3 +173,72 @@ def test_discover_links_df_full_pipeline(spark):
         assert "/a" in joined and "http://h.example/i.png" in joined
         assert out[u]["gzip_ok"]
     assert out["http://h.example/3"]["gzip_ok"] is False
+
+
+def test_robots_batch_matches_scalar_randomized():
+    """Pin the vectorized batch evaluator to the scalar truth across a rule
+    matrix incl. wildcards, anchors, multi-rule specificity races and
+    rule-less hosts (the per-rule vectorized fold must replicate the scalar
+    longest-match bookkeeping exactly)."""
+    import itertools
+    rules = {
+        "a": (["/private/", "/p"], ["/private/p/0", "/p/x"]),
+        "b": (["/"], []),
+        "c": (["/*.png$", "/img/"], ["/img/ok*"]),
+        "d": ([], []),
+        "e": (["/dir/"], ["/dir/"]),
+    }
+    paths = ["/private/x", "/private/p/0", "/p/x", "/p/xy", "/q", "/",
+             "/a/b.png", "/a/b.pngx", "/img/z", "/img/ok1", "/dir/page", ""]
+    rows = list(itertools.product(rules, paths))
+    got = robots_allows_batch(
+        pd.Series([p for _, p in rows]),
+        pd.Series([h for h, _ in rows]),
+        pd.Series([list(rules[h][0]) for h, _ in rows]),
+        pd.Series([list(rules[h][1]) for h, _ in rows]),
+    )
+    want = [robots_allows(p, rules[h][0], rules[h][1]) for h, p in rows]
+    assert list(got) == want
+
+
+def test_robots_jvm_gate_matches_udf_gate(spark):
+    """The pure-JVM simple-rules gate (admission.robots_allowed_col with
+    rules_simple=True) must agree row-for-row with the pandas-UDF path and
+    the scalar truth on wildcard-free rules."""
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.operators.admission import (
+        robots_allowed_col, robots_rules_simple)
+
+    cfg = CrawlConfig(seeds=["http://a/"])
+    robots = spark.createDataFrame(
+        [("a", ["/private/", "/p"], ["/private/p/0", "/p/x"], None),
+         ("b", ["/"], [], None),
+         ("e", ["/dir/"], ["/dir/"], None),
+         ("f", [], [], None)],
+        "host string, disallow array<string>, allow array<string>, crawl_delay double")
+    assert robots_rules_simple(robots) is True
+    wild = spark.createDataFrame(
+        [("c", ["/*.png$"], [], None)],
+        "host string, disallow array<string>, allow array<string>, crawl_delay double")
+    assert robots_rules_simple(wild) is False
+    assert robots_rules_simple(None) is True
+
+    paths = ["/private/x", "/private/p/0", "/p/x", "/p/xy", "/q", "/",
+             "/dir/page", "/other"]
+    hosts = ["a", "b", "e", "f", "zz"]  # zz absent from robots → allowed
+    cands = spark.createDataFrame(
+        [(f"http://{h}{p}", h) for h in hosts for p in paths],
+        "url_norm string, host string")
+    jvm = {r["url_norm"]: r["robots_ok"] for r in
+           robots_allowed_col(cands, robots, cfg, rules_simple=True).collect()}
+    udf = {r["url_norm"]: r["robots_ok"] for r in
+           robots_allowed_col(cands, robots, cfg, rules_simple=False).collect()}
+    rule_map = {"a": (["/private/", "/p"], ["/private/p/0", "/p/x"]),
+                "b": (["/"], []), "e": (["/dir/"], ["/dir/"]), "f": ([], [])}
+    assert jvm == udf
+    for h in hosts:
+        d, a = rule_map.get(h, ([], []))
+        for p in paths:
+            assert jvm[f"http://{h}{p}"] == robots_allows(p, d, a), (h, p)
