@@ -180,3 +180,25 @@ def test_round_pacer_sleeps_remainder():
     p0 = RoundPacer(0.0, clock=lambda: now[0], sleep=slept.append)
     p0.round_started()
     assert p0.pace(100) == 0.0
+
+
+def test_robots_simple_gate_is_pure_jvm(spark):
+    """P2 with wildcard-free rules must compile to JVM expressions — no
+    Python eval node in the plan. The gate runs over every discovered
+    candidate each round (the engine's widest row stream); a regression
+    back to the pandas-UDF path re-adds an Arrow round trip per round."""
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.operators.admission import robots_allowed_col
+
+    cfg = CrawlConfig(seeds=["http://a/"])
+    robots = spark.createDataFrame(
+        [("a", ["/private/"], ["/private/p/0"], None)],
+        "host string, disallow array<string>, allow array<string>, crawl_delay double")
+    cands = spark.createDataFrame(
+        [("http://a/p/1", "a"), ("http://b/x", "b")],
+        "url_norm string, host string")
+    jvm_plan = _plan(robots_allowed_col(cands, robots, cfg, rules_simple=True))
+    assert "ArrowEvalPython" not in jvm_plan and "BatchEvalPython" not in jvm_plan
+    assert "BroadcastHashJoin" in jvm_plan or "BroadcastNestedLoop" not in jvm_plan
+    udf_plan = _plan(robots_allowed_col(cands, robots, cfg, rules_simple=False))
+    assert "ArrowEvalPython" in udf_plan  # the wildcard fallback stays Python
