@@ -3,14 +3,14 @@
 ``queries()`` exposes the engine's operator inventory (SURVEY.md §2) over the
 driver's relational testdata, plus the training-data pipeline operators
 (dedup / similarity / text analysis) over ``documents``/``embeddings``.
-``oracle_sql()`` gives the DuckDB twin for every SQL-expressible entry —
-same column names, same rounding, deterministic ordering — so the driver's
-row-count + schema + value-hash comparison is exact. Only two entries are
-rows-only (ann_lsh_topk, simhash_near_dup): their hash families
-(seeded-Gaussian hyperplanes, xxhash-family shingle hashes) have no ANSI-SQL
-twin; each is exactness/recall-tested in pytest instead
-(tests/test_pipeline.py), and each has a fully-oracled sibling here covering
-the same algorithm with an SQL-expressible hash family.
+``oracle_sql()`` gives the DuckDB twin for EVERY entry — same column names,
+same rounding, deterministic ordering — so the driver's row-count + schema +
+value-hash comparison is exact for all 27 queries. Entries whose natural
+hash family is seeded-numpy (Gaussian hyperplanes, xxhash shingles) expose
+an md5-derived deterministic family here instead (rademacher_planes /
+simhash_md5 mode="word") with the SQL replaying the identical arithmetic;
+the tunable numpy variants stay pytest-pinned (tests/test_entry_oracle.py,
+tests/test_pipeline.py).
 
 The crawl engine itself (frontier/BSP loop) runs on its own generated corpus
 — covered by tests/test_crawl_parity.py and bench.py, not by these oracles.
@@ -237,11 +237,15 @@ def _ann_cosine_topk(spark, sf):
 
 
 def _ann_lsh_topk(spark, sf):
-    from simplecrawler_spark.pipeline.similarity import ann_topk_lsh
+    # md5-derived Rademacher hyperplanes (similarity.rademacher_planes):
+    # exactly DuckDB-oracled — the SQL twin replays the same literal ±sums in
+    # the same term order. The seeded-Gaussian variant (ann_topk_lsh) stays
+    # pytest-pinned (tests/test_entry_oracle.py) as the tunable path.
+    from simplecrawler_spark.pipeline.similarity import ann_topk_lsh_md5
     emb = _t(spark, sf, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ann_topk_lsh(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec],
-                        k=10, n_bits=8, probe_hamming=1)
+    return ann_topk_lsh_md5(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec],
+                            k=10, n_bits=8, probe_hamming=1)
 
 
 def _ann_ivf_topk(spark, sf):
@@ -270,8 +274,14 @@ def _minhash_near_dup(spark, sf):
 
 
 def _simhash_near_dup(spark, sf):
-    from simplecrawler_spark.pipeline.dedup import simhash_fingerprints, simhash_pairs
-    return simhash_pairs(simhash_fingerprints(_t(spark, sf, "documents")), max_hamming=3)
+    # word-token md5 SimHash (mode="word", dedup.simhash_md5): exactly
+    # DuckDB-oracled (brute-force O(n²) SQL twin; the Spark side's 4×16-bit
+    # pigeonhole blocking is lossless for hamming ≤ 3). Distinct operator
+    # from simhash_md5_near_dup (char 5-grams): token votes are robust to
+    # reordering, char shingles to layout edits. The xxhash rolling-shingle
+    # variant (simhash_fingerprints→simhash_pairs) stays pytest-pinned.
+    from simplecrawler_spark.pipeline.dedup import simhash_md5_pairs
+    return simhash_md5_pairs(_t(spark, sf, "documents"), max_hamming=3, mode="word")
 
 
 def _embed_near_dup(spark, sf):
@@ -316,6 +326,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _simhash_near_dup,
         "embed_near_dup": _embed_near_dup,
     }
+
+
+def _signed_sum(arr: str, signs: list[int]) -> str:
+    """±element_at sum as SQL, in the SAME left-to-right term order as the
+    Spark expression built by similarity.ann_topk_lsh_md5 — identical IEEE
+    float64 fold, so the >= 0 sign bit agrees at every boundary."""
+    parts = []
+    for j, s in enumerate(signs):
+        term = f"{arr}[{j + 1}]"
+        parts.append((term if s > 0 else f"-{term}") if not parts
+                     else f" {'+' if s > 0 else '-'} {term}")
+    return "".join(parts)
+
+
+def _ann_lsh_md5_sql(n_bits: int = 8, dim: int = 64, seed: int = 42,
+                     probe_hamming: int = 1, k: int = 10) -> str:
+    """DuckDB twin of similarity.ann_topk_lsh_md5: the md5-derived ±1
+    hyperplanes are regenerated here (same pure function of (seed, i, j))
+    and embedded as literal signed sums; Hamming(sig(v), sig(q)) ≤ probe,
+    exact cosine re-rank (4 dp, id tie-break) — same as ann_cosine_topk."""
+    from simplecrawler_spark.pipeline.similarity import rademacher_planes
+
+    planes = rademacher_planes(n_bits, dim, seed)
+    ham = " + ".join(
+        f"CASE WHEN (({_signed_sum('e.v', row)}) >= 0)"
+        f" <> (({_signed_sum('q.qv', row)}) >= 0) THEN 1 ELSE 0 END"
+        for row in planes)
+    return (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv, embedding AS qe"
+        " FROM embeddings WHERE vec_id = 0),"
+        " e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v"
+        " FROM embeddings WHERE vec_id <> 0)"
+        " SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, q.qe)"
+        " AS DOUBLE), 4) AS cosine"
+        f" FROM e, q WHERE ({ham}) <= {probe_hamming}"
+        f" ORDER BY cosine DESC, e.vec_id LIMIT {k}"
+    )
 
 
 _STOP_EN = r"\b(the|a|and|of|to|in|is|it)\b"
@@ -556,13 +603,33 @@ def oracle_sql() -> dict[str, str]:
             + ") <= 1"
             " ORDER BY cosine DESC, e.vec_id LIMIT 10"
         ),
-        # ann_lsh_topk / simhash_near_dup: intentionally rows-only — their
-        # hash families (seeded-Gaussian hyperplanes, xxhash-family shingle
-        # hashes) have no ANSI-SQL twin; exactness/recall is pytest-pinned
-        # (tests/test_pipeline.py). Their oracled siblings cover the same
-        # algorithms end-to-end: ann_cosine_topk (exact re-rank kernel),
-        # simhash_md5_near_dup (lossless pigeonhole blocking), and
-        # minhash_near_dup / embed_near_dup above (LSH bucketing + verify).
+        "ann_lsh_topk": _ann_lsh_md5_sql(n_bits=8, dim=64, seed=42,
+                                         probe_hamming=1, k=10),
+        "simhash_near_dup": (
+            # word-token md5 SimHash, brute-force O(n²) oracle (the Spark
+            # side's pigeonhole blocking is lossless for hamming <= 3);
+            # token extraction mirrors dedup._words_sql exactly
+            "WITH raw AS ("
+            " SELECT doc_id, unnest(list_distinct(string_split_regex("
+            "  trim(lower(coalesce(text, ''))), '\\s+'))) AS gr"
+            " FROM documents),"
+            " hx AS (SELECT doc_id, md5(gr) AS h FROM raw),"
+            " votes AS (SELECT doc_id, j,"
+            "  SUM((2 * ((CAST(strpos('0123456789abcdef',"
+            "    substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1 AS INT)"
+            "    >> CAST(3 - (j % 4) AS INT)) & 1)) - 1) AS v"
+            "  FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits"
+            "  GROUP BY doc_id, j),"
+            " sh AS (SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY j)"
+            "   AS bits FROM votes GROUP BY doc_id)"
+            " SELECT a, b, hamming FROM ("
+            "  SELECT x.doc_id AS a, y.doc_id AS b,"
+            "   CAST(list_sum(list_transform(range(1, 65),"
+            "    k -> abs(x.bits[CAST(k AS INT)] - y.bits[CAST(k AS INT)]))) AS INT)"
+            "   AS hamming"
+            "  FROM sh x JOIN sh y ON x.doc_id < y.doc_id) p"
+            " WHERE hamming <= 3"
+        ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
             " SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS cosine"

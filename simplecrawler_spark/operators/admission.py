@@ -122,6 +122,23 @@ def eval_condition_py(item: dict, spec: list[dict]) -> bool:
     return True
 
 
+def sanitize_robots_rules(robots: DataFrame) -> DataFrame:
+    """Drop null ELEMENTS from the disallow/allow rule arrays. The pure-JVM
+    gate would silently skip them (``startswith(null)`` → null → filtered
+    out) while the pandas path raises, and ``F.exists``'s ternary-null logic
+    would let :func:`robots_rules_simple` classify such rulesets as simple —
+    sanitizing once at the relation boundary makes every evaluation path see
+    identical rule arrays (malformed corpus rows degrade identically instead
+    of diverging)."""
+    keep = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.filter(F.col(c), lambda r: r.isNotNull()))
+    out = robots
+    for c in ("disallow", "allow"):
+        if c in robots.columns:
+            out = out.withColumn(c, keep(c))
+    return out
+
+
 def robots_rules_simple(robots: DataFrame | None) -> bool:
     """True iff no rule in the relation uses ``*``/``$`` — i.e. every rule
     is a plain path prefix and longest-match is expressible with JVM
@@ -129,6 +146,7 @@ def robots_rules_simple(robots: DataFrame | None) -> bool:
     the engine caches the answer per robots load."""
     if robots is None:
         return True
+    robots = sanitize_robots_rules(robots)
     wild = (lambda c: F.exists(
         F.coalesce(F.col(c), F.array().cast("array<string>")),
         lambda r: r.contains("*") | r.contains("$")))
@@ -158,7 +176,7 @@ def robots_allowed_col(cands: DataFrame, robots: DataFrame, cfg: CrawlConfig,
     """
     if not cfg.respect_robots_txt or robots is None:
         return cands.withColumn("robots_ok", F.lit(True))
-    joined = cands.join(F.broadcast(robots), "host", "left")
+    joined = cands.join(F.broadcast(sanitize_robots_rules(robots)), "host", "left")
     path = F.regexp_replace(joined.url_norm, r"^https?://[^/]+", "")
     if rules_simple:
         empty = F.array().cast("array<string>")

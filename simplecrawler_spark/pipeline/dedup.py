@@ -369,19 +369,35 @@ def fingerprint_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     return docs.select(F.col(id_col), fp.alias("fp64"))
 
 
+def _words_sql(text_col: str) -> str:
+    """Distinct lowercase whitespace tokens as a Spark-SQL expression.
+    Mirrors DuckDB's ``string_split_regex(trim(lower(...)), '\\s+')``:
+    trimming first means no boundary empties; the all-whitespace/empty doc
+    degenerates to the single '' token in BOTH engines."""
+    t = f"trim(lower(coalesce({text_col}, '')))"
+    return f"array_distinct(split({t}, '\\\\s+'))"
+
+
 def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                shingle: int = 5) -> DataFrame:
+                shingle: int = 5, mode: str = "char") -> DataFrame:
     """SimHash over md5 gram hashes — PURE Spark built-ins (no UDF, stays in
     whole-stage codegen) and bit-for-bit reproducible in ANSI-ish SQL, so the
     DuckDB oracle can verify the full pipeline. Bit j of gram g = bit
     (3 - j%4) of hex digit j//4 of md5(g); simhash bit j = 1 iff the ±1 votes
     over distinct grams sum positive. Returns (doc_id, bits array<int>,
-    posexploded 16-bit segment values for pigeonhole blocking)."""
+    posexploded 16-bit segment values for pigeonhole blocking).
+
+    ``mode``: ``"char"`` votes over distinct char ``shingle``-grams (layout
+    sensitivity — near-dup detection for templated pages); ``"word"`` votes
+    over distinct whitespace tokens (bag-of-words robustness to reordering —
+    the family Manku/Jain/Das Sarma 2007 ran at web scale). Word mode hashes
+    ~``shingle``× fewer grams per doc, so it is also the cheaper scan."""
     docs = spread_small_input(docs)
+    grams = _words_sql(text_col) if mode == "word" else _grams_sql(text_col, shingle)
     gbits = ("transform(sequence(0, 63), j -> "
              "2 * (shiftright(cast(conv(substring(hx, cast(j div 4 as int) + 1, 1), 16, 10) "
              "as int), 3 - cast(j % 4 as int)) & 1) - 1)")
-    votes = (f"aggregate(transform({_grams_sql(text_col, shingle)}, gr -> md5(gr)), "
+    votes = (f"aggregate(transform({grams}, gr -> md5(gr)), "
              f"array_repeat(0, 64), (acc, hx) -> zip_with(acc, {gbits}, (x, y) -> x + y))")
     bits = f"transform({votes}, v -> case when v > 0 then 1 else 0 end)"
     segs = ("transform(sequence(0, 3), s -> aggregate(sequence(0, 15), 0L, "
@@ -393,13 +409,13 @@ def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3, shingle: int = 5,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_bucket: int = 4096) -> DataFrame:
+                      max_bucket: int = 4096, mode: str = "char") -> DataFrame:
     """Near-dup pairs from :func:`simhash_md5` via the same 4×16-bit
     pigeonhole blocking as :func:`simhash_pairs`. For hamming ≤ 3 the
     pigeonhole guarantee makes blocking LOSSLESS (≥1 segment must be equal),
     so this equals the brute-force O(n²) scan the DuckDB oracle runs —
-    an exactly-verifiable LSH path."""
-    fps = simhash_md5(docs, text_col, id_col, shingle)
+    an exactly-verifiable LSH path. ``mode`` as in :func:`simhash_md5`."""
+    fps = simhash_md5(docs, text_col, id_col, shingle, mode=mode)
     seg = fps.select(
         F.col(id_col).alias("doc_id"), "bits",
         F.posexplode("segs").alias("seg_id", "seg_val"))

@@ -93,6 +93,57 @@ def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def rademacher_planes(n_bits: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """±1 (Rademacher) hyperplanes derived from md5 — the deterministic,
+    engine-portable hash family for sign-LSH. Component (i, j) is the low
+    bit of the first hex digit of ``md5("{seed}:{i}:{j}")``. Sign-of-dot
+    with ±1 components is random-hyperplane LSH (Charikar 2002 — Rademacher
+    projections satisfy the same collision-probability bound as Gaussians,
+    Achlioptas 2003), and unlike seeded-Gaussian planes the whole signature
+    is a literal ±sum SQL expression, so a DuckDB oracle can replay it
+    bit-for-bit (generated in the SAME term order → identical IEEE float64
+    sums → identical sign at every boundary)."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16) & 1
+             else -1 for j in range(dim)]
+            for i in range(n_bits)]
+
+
+def ann_topk_lsh_md5(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                     n_bits: int = 8, seed: int = 42, probe_hamming: int = 1,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via md5-derived Rademacher sign-LSH (:func:`rademacher_planes`)
+    — the exactly-DuckDB-oracled twin of :func:`ann_topk_lsh` (whose seeded-
+    Gaussian planes have no SQL replay and stay pytest-pinned as the tunable
+    path). Same plan shape as :func:`ann_topk_axis`: signature bits and the
+    Hamming distance to the query's signature are PER-ROW whole-stage-codegen
+    expressions over literal ±1 coefficients (no join, no shuffle, nothing
+    broadcast), the Hamming filter prunes the scan before any cosine math,
+    and the only wide node is TakeOrdered(k)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = rademacher_planes(n_bits, len(q), seed)
+    # query bits via the same left-to-right float64 fold the executors run
+    qbit = []
+    for row in planes:
+        acc = 0.0
+        for s, x in zip(row, q):
+            acc = acc + (x if s > 0 else -x)
+        qbit.append(acc >= 0.0)
+    v = F.col(vec_col).cast("array<double>")
+    bit_exprs = []
+    for row in planes:
+        acc = None
+        for j, s in enumerate(row):
+            term = F.element_at(v, j + 1)
+            term = term if s > 0 else -term
+            acc = term if acc is None else acc + term
+        bit_exprs.append(acc >= F.lit(0.0))
+    ham = sum((b != F.lit(qb)).cast("int") for b, qb in zip(bit_exprs, qbit))
+    cands = embeddings.where(ham <= F.lit(probe_hamming))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def axis_sign_near_dupes(embeddings: DataFrame, threshold: float = 0.98,
                          dims: list[int] | None = None, n_bits: int = 10,
                          id_col: str = "vec_id", vec_col: str = "embedding",

@@ -344,8 +344,15 @@ class CrawlEngine:
             self._lazy_robots_update(cands, rnd)
         if self._robots_simple is None:
             # probe once per robots load: wildcard-free rules unlock the
-            # pure-JVM robots gate (operators/admission.robots_allowed_col)
-            self._robots_simple = robots_rules_simple(self.robots)
+            # pure-JVM robots gate (operators/admission.robots_allowed_col).
+            # Guarded exactly like robots_allowed_col's short-circuit — when
+            # robots are disabled/absent the answer is never consulted, so
+            # don't spend a collect job on it (and in lazy mode don't re-probe
+            # after every _reload_robots for nothing)
+            if cfg.respect_robots_txt and self.robots is not None:
+                self._robots_simple = robots_rules_simple(self.robots)
+            else:
+                self._robots_simple = True
         gated = admit(cands, self.robots, cfg, self.seed_hosts, self.fetch_conditions,
                       robots_simple=self._robots_simple)
         # admission counters ride along with the first downstream action —

@@ -73,10 +73,32 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
-# Recorded value-hashes for the two rows-only entries (seeded-numpy hash
-# families with no SQL twin). They are fully deterministic functions of the
-# fixed testdata + seed, so any silent change to the hyperplane generation,
-# banding, or verify math breaks these pins even without a DuckDB oracle.
+# Recorded value-hashes for the seeded-numpy hash-family variants (Gaussian
+# hyperplanes / xxhash rolling shingles — no SQL twin; since r4 the
+# queries() entries of the same names use md5-derived families and ARE
+# DuckDB-oracled, so these pins now exercise the numpy variants directly).
+# They are fully deterministic functions of the fixed testdata + seed, so
+# any silent change to the hyperplane generation, banding, or verify math
+# breaks these pins even without a DuckDB oracle.
+def _ann_lsh_gaussian(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.pipeline.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_topk_lsh(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec],
+                        k=10, n_bits=8, probe_hamming=1)
+
+
+def _simhash_xxhash(spark, sf_dir):
+    from simplecrawler_spark.pipeline.dedup import simhash_fingerprints, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(simhash_fingerprints(docs), max_hamming=3)
+
+
+_PINNED_FNS = {"ann_lsh_topk": _ann_lsh_gaussian, "simhash_near_dup": _simhash_xxhash}
 _PINNED = {
     ("/root/testdata/sf0.001", "ann_lsh_topk"): (10, "d45f4fffab8f1ffc01367afc2daea209"),
     ("/root/testdata/sf0.001", "simhash_near_dup"): (495, "b813a59ce761e57f7e08f3e3821739dc"),
@@ -91,7 +113,7 @@ def test_rows_only_value_hash_pinned(spark, sf_dir, name):
 
     if not os.path.isdir(sf_dir):
         pytest.skip(f"{sf_dir} absent")
-    df = entry_mod.queries()[name](spark, sf_dir)
+    df = _PINNED_FNS[name](spark, sf_dir)
     cols = sorted(df.columns)
     idx = [df.columns.index(c) for c in cols]
     rows = sorted(tuple(_norm(r[i]) for i in idx) for r in df.collect())

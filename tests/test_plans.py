@@ -199,6 +199,6 @@ def test_robots_simple_gate_is_pure_jvm(spark):
         "url_norm string, host string")
     jvm_plan = _plan(robots_allowed_col(cands, robots, cfg, rules_simple=True))
     assert "ArrowEvalPython" not in jvm_plan and "BatchEvalPython" not in jvm_plan
-    assert "BroadcastHashJoin" in jvm_plan or "BroadcastNestedLoop" not in jvm_plan
+    assert "BroadcastHashJoin" in jvm_plan
     udf_plan = _plan(robots_allowed_col(cands, robots, cfg, rules_simple=False))
     assert "ArrowEvalPython" in udf_plan  # the wildcard fallback stays Python
