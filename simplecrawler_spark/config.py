@@ -75,6 +75,13 @@ class CrawlConfig:
     # merge order). authUser/authPass → `Authorization: Basic b64(user:pass)`;
     # proxyUser/proxyPass → `Proxy-Authorization` (useProxy path).
     custom_headers: dict = field(default_factory=dict)
+    # acceptCookies (crawler.js:≈L1350 / cookies.addFromHeaders): parse every
+    # response's Set-Cookie headers into the crawl's cookie jar; subsequent
+    # requests carry the matching `Cookie:` header (D8). BSP semantics: a
+    # round's requests see the jar as of the END of the previous round —
+    # within a round all fetches start simultaneously (Appendix C), exactly
+    # like the conditional-GET cache view.
+    accept_cookies: bool = True
     auth_user: str = ""                    # authUser ('' = no Authorization header)
     auth_pass: str = ""                    # authPass
     proxy_user: str = ""                   # proxyUser ('' = no Proxy-Authorization)

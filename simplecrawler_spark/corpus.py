@@ -39,6 +39,12 @@ class CorpusParams:
     frac_private: float = 0.08     # URLs under /private/ (robots-denied on deny_private hosts)
     img_sizes: tuple = (16, 32, 64)
     web_buckets: int = 32          # url_norm bucketing of the web table (fetch-join locality)
+    # D8 acceptCookies fodder: ~15% of responses carry Set-Cookie headers
+    # (host-default, path-scoped, Domain-attributed, multi-cookie, expired).
+    # Derived from url_id by integer hash — NO rng draws, so corpora stay
+    # draw-identical to cookie-less rounds; off by default so older fixtures
+    # and benches are bit-identical.
+    with_cookies: bool = False
 
     def host_bounds(self) -> np.ndarray:
         w = 1.0 / np.power(np.arange(1, self.n_hosts + 1), self.zipf_s)
@@ -243,20 +249,41 @@ def gen_rows(ids: np.ndarray, p: CorpusParams) -> pd.DataFrame:
             body, content_encoding = make_body(i, links)
         else:
             body, content_encoding = None, None
+        # Set-Cookie headers (D8 acceptCookies): integer-hash derived (no rng
+        # draws — draw-identical corpora). Variants cover the jar semantics:
+        # host-default, path-scoped+HttpOnly, explicit Domain + far Expires,
+        # two-cookies-one-response, and an already-expired cookie (stored in
+        # the jar, excluded from outbound headers).
+        set_cookie = None
+        if p.with_cookies:
+            ch = (i * 1140071481) % 100
+            if ch < 8:
+                set_cookie = [f"sid={i % 5}; Path=/"]
+            elif ch < 12:
+                set_cookie = [f"pref=p{i % 3}; Path=/private/; HttpOnly"]
+            elif ch < 14:
+                set_cookie = [
+                    f"track=t{i % 7}; Domain={host_name(h)}; "
+                    "Expires=Wed, 01 Jan 2031 00:00:00 GMT",
+                    f"sess=s{i % 2}; Path=/",
+                ]
+            elif ch < 15:
+                set_cookie = ["old=1; Expires=Thu, 01 Jan 1970 00:00:00 GMT"]
         rows.append(
             (i, url, host_name(h), code, redirect_to, content_type, links,
              image_id, caption, grp, body_size, content_length,
              request_latency, download_time, round(request_latency + download_time, 3),
              failure, body, content_encoding)
+            + ((set_cookie,) if p.with_cookies else ())
         )
-    return pd.DataFrame(
-        rows,
-        columns=["url_id", "url_norm", "host", "status_code", "redirect_to",
-                 "content_type", "links", "image_id", "caption", "robots_group", "body_size",
-                 "content_length",
-                 "request_latency_ms", "download_time_ms", "request_time_ms", "failure",
-                 "body", "content_encoding"],
-    )
+    cols = ["url_id", "url_norm", "host", "status_code", "redirect_to",
+            "content_type", "links", "image_id", "caption", "robots_group", "body_size",
+            "content_length",
+            "request_latency_ms", "download_time_ms", "request_time_ms", "failure",
+            "body", "content_encoding"]
+    if p.with_cookies:
+        cols.append("set_cookie")
+    return pd.DataFrame(rows, columns=cols)
 
 
 def gen_image_array(i: int, p: CorpusParams) -> tuple[np.ndarray, str]:
@@ -325,6 +352,13 @@ WEB_SCHEMA = (
     "request_latency_ms double, download_time_ms double, request_time_ms double, "
     "failure string, body binary, content_encoding string"
 )
+# appended iff CorpusParams.with_cookies — cookie-less corpora keep their
+# exact historical schema (and crawls over them pay zero for D8)
+COOKIE_COL = ", set_cookie array<string>"
+
+
+def web_schema(p: "CorpusParams") -> str:
+    return WEB_SCHEMA + (COOKIE_COL if p.with_cookies else "")
 IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
 
 
@@ -369,7 +403,7 @@ def write_corpus(spark, out_dir: str, p: CorpusParams, partitions: int | None = 
 
     web = (
         spark.range(0, p.n_urls, 1, nparts)
-        .mapInPandas(gen_web, schema=WEB_SCHEMA)
+        .mapInPandas(gen_web, schema=web_schema(p))
     )
     # The web table is BUCKETED by the fetch-join key (url_norm): every crawl
     # round equi-joins its batch against this table, and a bucketed corpus
@@ -392,7 +426,7 @@ def write_corpus(spark, out_dir: str, p: CorpusParams, partitions: int | None = 
     spark.sql(f"DROP TABLE {tmp_tbl}")  # external: data files stay
     with open(f"{out_dir}/web/_BUCKET_SPEC.json", "w") as f:
         _json.dump({"buckets": p.web_buckets, "key": "url_norm",
-                    "schema": WEB_SCHEMA}, f)
+                    "schema": web_schema(p)}, f)
     web = spark.read.parquet(f"{out_dir}/web")
 
     def gen_images(batches):

@@ -36,7 +36,8 @@ WEB_COLS = ["url_norm", "status_code", "redirect_to", "content_type", "links",
 _OPTIONAL_COL_TYPES = {"content_length": "long",
                        "request_latency_ms": "double", "download_time_ms": "double",
                        "request_time_ms": "double", "failure": "string",
-                       "body": "binary", "content_encoding": "string"}
+                       "body": "binary", "content_encoding": "string",
+                       "set_cookie": "array<string>"}
 
 
 def fetch_batch(batch: DataFrame, web: DataFrame, batch_rows: int | None = None,
@@ -229,6 +230,28 @@ def verify_payloads(downloaded: DataFrame, images: DataFrame,
     return joined.mapInPandas(decode_verify, schema=schema)
 
 
+def cookie_header_udf(cookie_rows: list):
+    """Pandas UDF ``(host, path) -> outbound Cookie header`` for a FIXED jar
+    state (``CookieJar.to_rows()`` — config-scale, closed over, regenerated
+    per executor). Shared by :func:`build_request_headers` (the real-fetch
+    seam) and the crawl loop's in-round D8 header annotation
+    (``acceptCookies``): RFC 6265 §5.4 ordering, vectorized over the batch
+    (functions/cookies.outbound_header_series)."""
+    from pyspark.sql.types import StringType
+
+    from simplecrawler_spark.functions.cookies import CookieJar, outbound_header_series
+
+    rows = [tuple(r) for r in (cookie_rows or [])]
+
+    @F.pandas_udf(StringType())
+    def cookie_hdr(host: pd.Series, path: pd.Series) -> pd.Series:
+        jar = CookieJar.from_rows(rows)
+        s = outbound_header_series(host, path, jar.cookies)
+        return s.where(s != "", None)
+
+    return cookie_hdr
+
+
 def build_request_headers(batch: DataFrame, cfg: CrawlConfig,
                           cookie_rows: list | None = None,
                           cache: DataFrame | None = None) -> DataFrame:
@@ -246,24 +269,14 @@ def build_request_headers(batch: DataFrame, cfg: CrawlConfig,
     closed over by the pandas UDF (regenerated per executor; nothing
     broadcast). Consumed by :func:`http_fetch`; unit-tested standalone so the
     seam's header contract is pinned without a network."""
-    from pyspark.sql.types import StringType
-
-    from simplecrawler_spark.functions.cookies import CookieJar, outbound_header_series
     from simplecrawler_spark.operators.cache import with_conditional_headers
 
     out = with_conditional_headers(batch, cache)
     rows = [tuple(r) for r in (cookie_rows or [])]
-
-    @F.pandas_udf(StringType())
-    def cookie_hdr(host: pd.Series, path: pd.Series) -> pd.Series:
-        jar = CookieJar.from_rows(rows)
-        s = outbound_header_series(host, path, jar.cookies)
-        return s.where(s != "", None)
-
     path = F.regexp_replace(F.col("url_norm"), r"^[a-z]+://[^/]+", "")
     out = out.withColumn("hdr_user_agent", F.lit(cfg.user_agent))
     if rows:
-        out = out.withColumn("hdr_cookie", cookie_hdr(F.col("host"), path))
+        out = out.withColumn("hdr_cookie", cookie_header_udf(rows)(F.col("host"), path))
     else:
         out = out.withColumn("hdr_cookie", F.lit(None).cast("string"))
     # Referer: the discovering page (queueItem.referrer); seeds have none

@@ -203,19 +203,106 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.95,
             .where(F.col("cosine") >= threshold).distinct())
 
 
+def kmeans_codebook(embeddings: DataFrame, n_centroids: int = 16,
+                    n_iters: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    init: str = "maxmin") -> list[tuple[int, np.ndarray]]:
+    """Distributed spherical k-means codebook for :func:`ivf_flat_topk` —
+    the trained swap-in the first-``n`` codebook's docstring promises, SAME
+    ``[(cid, vector)]`` shape, so the IVF plan is unchanged.
+
+    Deterministic, no RNG anywhere:
+
+    * init ``"maxmin"`` (default) — farthest-first traversal: start from the
+      lowest-id vector, then repeatedly take the vector with the smallest
+      max-cosine to the chosen set (lowest id on ties). One TakeOrdered(1)
+      scan per centroid over literal centroid expressions (Gonzalez 1985 —
+      the deterministic k-center seeding; immune to degenerate id order,
+      where ``"lowest_id"`` init can start all centroids inside one
+      cluster). init ``"lowest_id"`` = the first-``n`` codebook.
+    * assignment — argmax cosine, lowest-cid tie-break (numpy argmax).
+    * each Lloyd round is ONE narrow job: ``mapInPandas`` computes per-
+      partition partial sums (cid, count, Σvec) against the closure-shipped
+      centroid matrix (config-scale: C×dim floats); the partitions×C partial
+      rows reduce on the driver. Zero shuffles per round, no N×C explode,
+      no per-row Python. Empty clusters keep their previous centroid.
+
+    At the 100 TB design point you'd train on a sampled slice
+    (``embeddings.sample(...)``) — the code path is identical."""
+    src = _persist(embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v")))
+    if init == "maxmin":
+        first = src.orderBy("_id").limit(1).collect()[0]
+        chosen = [np.asarray(first["_v"], dtype=np.float64)]
+        v = F.col("_v")
+        vn = _norm(v)
+        for _ in range(n_centroids - 1):
+            cos_to = [
+                F.round(_dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                        / (vn * F.lit(float(np.sqrt(c @ c)))), 9)
+                for c in chosen]
+            nearest = cos_to[0] if len(cos_to) == 1 else F.greatest(*cos_to)
+            r = (src.select("_id", "_v", nearest.alias("m"))
+                 .orderBy("m", "_id").limit(1).collect()[0])
+            chosen.append(np.asarray(r["_v"], dtype=np.float64))
+        C = np.stack(chosen)
+    else:
+        cents = src.orderBy("_id").limit(n_centroids).collect()
+        C = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in cents])
+
+    for _ in range(max(int(n_iters), 0)):
+        Cn = _l2(C)
+
+        def partial(batches, Cn=Cn, nc=len(C), dim=C.shape[1]):
+            sums = np.zeros((nc, dim))
+            counts = np.zeros(nc, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                cid = (_l2(mat) @ Cn.T).argmax(axis=1)  # first max = lowest cid
+                np.add.at(sums, cid, mat)
+                counts += np.bincount(cid, minlength=nc)
+            live = np.flatnonzero(counts)
+            if len(live):
+                yield pd.DataFrame({"cid": live, "n": counts[live],
+                                    "vsum": [sums[i] for i in live]})
+
+        rows = src.mapInPandas(
+            partial, schema="cid int, n long, vsum array<double>").collect()
+        nxt = C.copy()
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in rows:
+            n0, s0 = agg.get(r["cid"], (0, np.zeros(C.shape[1])))
+            agg[r["cid"]] = (n0 + r["n"], s0 + np.asarray(r["vsum"]))
+        for cid, (n, s) in agg.items():
+            nxt[cid] = s / n
+        C = nxt
+    return [(i, C[i]) for i in range(len(C))]
+
+
+def _l2(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n == 0, 1.0, n)
+
+
 def ivf_flat_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                   n_centroids: int = 16, nprobe: int = 4,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  codebook: list[tuple[int, np.ndarray]] | None = None) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize every vector to its nearest centroid
     (by cosine), search only the ``nprobe`` cells nearest the query, exact
     re-rank inside them. The third leg of the similarity family next to
     brute force (:func:`cosine_topk`) and LSH (:func:`ann_topk_lsh`).
 
-    Codebook here = the ``n_centroids`` lowest-id vectors — deterministic
+    Default codebook = the ``n_centroids`` lowest-id vectors — deterministic
     and SQL-expressible, so the DuckDB oracle verifies the FULL pipeline
-    (assignment argmax, probe selection, re-rank). Production swaps in a
-    trained k-means codebook through the same ``centroids`` shape; the plan
-    does not change.
+    (assignment argmax, probe selection, re-rank). Pass
+    ``codebook=kmeans_codebook(...)`` for the trained variant — same
+    ``[(cid, vector)]`` shape, identical plan, better cell balance/recall
+    (tests/test_pipeline.py pins the recall improvement on planted
+    clusters).
 
     Scale shape: the codebook is driver-collected (config-scale — 16×64
     floats) and embedded as literal expressions, so assignment is a per-row
@@ -227,10 +314,11 @@ def ivf_flat_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     Cosines are computed in float64 and rounded (6 dp for argmax/probe,
     4 dp for output, ids as tie-break) so both engines agree at boundaries.
     """
-    cents = (embeddings.orderBy(id_col).limit(n_centroids)
-             .select(id_col, F.col(vec_col).cast("array<double>"))
-             .collect())
-    codebook = [(int(r[0]), np.asarray(r[1], dtype=np.float64)) for r in cents]
+    if codebook is None:
+        cents = (embeddings.orderBy(id_col).limit(n_centroids)
+                 .select(id_col, F.col(vec_col).cast("array<double>"))
+                 .collect())
+        codebook = [(int(r[0]), np.asarray(r[1], dtype=np.float64)) for r in cents]
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt(q @ q))

@@ -20,6 +20,7 @@ oracle (tests/oracle.py) and this loop agree row-for-row by construction.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import tempfile
@@ -35,7 +36,9 @@ from simplecrawler_spark.functions.canonicalize import canonicalize_one
 from simplecrawler_spark.functions.links import clean_expand_series
 from simplecrawler_spark.operators import dedupe as dd
 from simplecrawler_spark.operators.admission import admit, robots_rules_simple, seed_host_set
-from simplecrawler_spark.operators.fetch import classify, fetch_batch, verify_payloads
+from simplecrawler_spark.functions.cookies import CookieJar
+from simplecrawler_spark.operators.fetch import (classify, cookie_header_udf,
+                                                 fetch_batch, verify_payloads)
 from simplecrawler_spark.operators.scheduler import assign_seq, select_batch
 from simplecrawler_spark.storage.compaction import plan_and_compact, read_warehouse_table
 from simplecrawler_spark.storage.snapshots import Warehouse
@@ -56,6 +59,8 @@ FETCHED_PAYLOAD_SCHEMA = ("seq long, url_norm string, image_id string, "
                           "caption string, status string")
 
 _HOST_RE = r"^[a-z]+://([^/]+)"
+
+_LOG = logging.getLogger(__name__)
 
 
 @dataclass
@@ -177,6 +182,12 @@ class CrawlEngine:
         self.phase_secs: dict[str, float] = {}  # perf diagnostics per phase
         self._payload_done = 0  # payload table verified through this round
         self._robots_simple: bool | None = None  # None = not yet probed
+        # D8 acceptCookies: the crawl-wide cookie jar (driver state, like the
+        # reference's single CookieJar). Active only when the knob is on AND
+        # the corpus actually carries Set-Cookie headers — otherwise the
+        # round pays zero (no extra column, no fold job, unchanged schema).
+        self.jar = CookieJar()
+        self._cookies_on = bool(cfg.accept_cookies) and "set_cookie" in web.columns
 
     def _tick(self, phase: str, t0: float) -> float:
         import time as _t
@@ -412,8 +423,15 @@ class CrawlEngine:
             # update, saving a job + a shuffle every round.
             queued = numbered.withColumn("round_queued", F.lit(rnd)).select(*QUEUED_COLS, "round_queued")
             if cfg.dedupe_mode == "tiered":
-                dd.register_new(queued, self.wh.root, self.wh.round_dir("seen", rnd),
-                                cfg.n_buckets, cfg.seen_capacity, cfg.bloom_bits_per_key)
+                n_resized = dd.register_new(
+                    queued, self.wh.root, self.wh.round_dir("seen", rnd),
+                    cfg.n_buckets, cfg.seen_capacity, cfg.bloom_bits_per_key,
+                    seen_paths=seen_paths)
+                if n_resized:
+                    _LOG.warning(
+                        "round %d: %d cuckoo sidecar bucket(s) auto-resized — "
+                        "seen_capacity=%d is undersized for this crawl",
+                        rnd, n_resized, cfg.seen_capacity)
             else:
                 dd.with_bucket(queued, cfg.n_buckets) \
                     .write.mode("overwrite").partitionBy("bucket").parquet(self.wh.round_dir("seen", rnd))
@@ -494,6 +512,34 @@ class CrawlEngine:
         except Exception:
             pass
         self._reload_robots(rnd)
+
+    COOKIE_FOLD_SCHEMA = ("seq long, failure string, host string, "
+                          "set_cookie array<string>")
+
+    def _fold_cookies(self, rnd: int) -> None:
+        """D8 acceptCookies — fold round ``rnd``'s Set-Cookie headers into the
+        jar (reference: ``cookies.addFromHeaders`` in handleResponse,
+        ``lib/crawler.js:≈L1350``). Reads the just-committed fetched delta
+        (column-pruned, footer-bounded — no pipeline re-execution), reduces to
+        DISTINCT (host, header) pairs keyed by their LAST occurrence position,
+        and replays ascending. Provably ≡ replaying every response's headers
+        sequentially in (seq, header_idx) order: for each (name, domain, path)
+        key the final value AND the jar position come from the key's last add
+        in both schemes (CookieJar.add is remove-then-append). The collect is
+        bounded by the corpus's distinct cookie-header diversity — config
+        scale, never O(responses)."""
+        df = (self.spark.read.schema(self.COOKIE_FOLD_SCHEMA)
+              .parquet(self.wh.round_dir("fetched", rnd))
+              .where(F.col("failure").isNull() & F.col("set_cookie").isNotNull()
+                     & (F.size("set_cookie") > 0))
+              .select("seq", "host",
+                      F.posexplode("set_cookie").alias("idx", "sc"))
+              .groupBy("host", "sc")
+              .agg(F.max(F.struct("seq", "idx")).alias("o")))
+        pairs = df.collect()
+        pairs.sort(key=lambda r: (r["o"]["seq"], r["o"]["idx"]))
+        for r in pairs:
+            self.jar.add_from_headers(r["sc"], r["host"])
 
     def _reload_robots(self, rnd: int) -> None:
         """Swap the admission relation to the union of all robots deltas;
@@ -666,6 +712,8 @@ class CrawlEngine:
         self.wh.drop_orphans(last)
         self.seed_hosts = m["seed_hosts"]
         self.compacts = m.get("compacts", {})
+        if m.get("cookies"):
+            self.jar = CookieJar.from_rows(m["cookies"])
         if self.cfg.robots_mode == "lazy":
             self._reload_robots(last)  # upserted rules are part of the snapshot
         if self.cfg.dedupe_mode == "tiered":
@@ -797,9 +845,24 @@ class CrawlEngine:
                                             rnd - 1, FETCHED_CACHE_SCHEMA)
                 fetch_in = with_conditional_headers(
                     batch, cache_from_fetched_log(flog) if flog is not None else None)
+            if self._cookies_on:
+                # D8: this round's requests carry the jar as of the END of
+                # round R-1 (BSP: all fetches in a round start simultaneously
+                # — same deferral as the conditional-GET cache view). The
+                # header lands in the fetched delta so the outbound string is
+                # parity-checkable against the oracle.
+                if self.jar.cookies:
+                    _path = F.regexp_replace(F.col("url_norm"), r"^[a-z]+://[^/]+", "")
+                    fetch_in = fetch_in.withColumn(
+                        "hdr_cookie",
+                        cookie_header_udf(self.jar.to_rows())(F.col("host"), _path))
+                else:
+                    fetch_in = fetch_in.withColumn(
+                        "hdr_cookie", F.lit(None).cast("string"))
+            extra_cols = (["body", "content_encoding"] if html_mode else []) + (
+                ["set_cookie"] if self._cookies_on else [])
             outcomes = classify(fetch_batch(fetch_in, self.web, batch_rows=n_batch,
-                                            extra_cols=(["body", "content_encoding"]
-                                                        if html_mode else None)), cfg,
+                                            extra_cols=extra_cols or None), cfg,
                                 self.download_conditions).observe(
                 ev_obs,
                 *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
@@ -852,7 +915,9 @@ class CrawlEngine:
                 "failure", "content_type", "body_size", "content_length",
                 "sent_incorrect_size", "image_id", "caption",
                 "request_latency_ms", "download_time_ms", "request_time_ms",
-                "payload_ref", "headers", "round_fetched",
+                "payload_ref", "headers",
+                *(("hdr_cookie", "set_cookie") if self._cookies_on else ()),
+                "round_fetched",
                 # discovery inputs ride along and are dropped by the writer
                 "links", "redirect_to", "mime_supported",
                 *(("body", "content_encoding") if html_mode else ()))
@@ -921,6 +986,8 @@ class CrawlEngine:
             # short delta — and mark the delta done
             self._ensure_fetched_complete(rnd, n_batch, fetched_sel)
             open(os.path.join(self.wh.round_dir("fetched", rnd), "_SUCCESS"), "w").close()
+            if self._cookies_on:
+                self._fold_cookies(rnd)
             t = self._tick("admit_dedupe_assign", t)
             try:
                 evc = ev_obs.get  # filled by the round's job; no extra action
@@ -974,10 +1041,15 @@ class CrawlEngine:
                     cfg.compact_max_levels, SEEN_SCHEMA)
                 compacted = True
                 t = self._tick("compaction", t)
-            self.wh.commit(rnd, {"next_seq": next_seq, "watermark": watermark,
-                                 "queued": int(n_left), "batch": int(n_batch),
-                                 "config": cfg.to_json(), "seed_hosts": self.seed_hosts,
-                                 "compacts": self.compacts})
+            manifest = {"next_seq": next_seq, "watermark": watermark,
+                        "queued": int(n_left), "batch": int(n_batch),
+                        "config": cfg.to_json(), "seed_hosts": self.seed_hosts,
+                        "compacts": self.compacts}
+            if self._cookies_on:
+                # the jar is crawl state — snapshot it with the round so
+                # defrost resumes with identical outbound headers (D8 + S4/S5)
+                manifest["cookies"] = self.jar.to_rows()
+            self.wh.commit(rnd, manifest)
             if compacted:
                 # post-commit: consumed inputs are no longer referenced by
                 # any live manifest — safe to delete (crash here is repaired

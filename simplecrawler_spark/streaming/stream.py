@@ -53,12 +53,20 @@ class CrawlStream:
         self._pause = pause_evt
 
     # -- reference loop controls --
-    def pause(self) -> None:
+    def pause(self, ttl: float | None = None) -> None:
         """Backpressure analog: subsequent ticks become no-ops (the
-        reference's handler holding the event loop open)."""
+        reference's handler holding the event loop open). ``ttl`` is the
+        ``listenerTTL`` analog (crawler.js:≈L1770–1830 — the reference
+        garbage-collects wait() handles older than listenerTTL so a leaked
+        handle can't stall the crawl forever): after ``ttl`` seconds the
+        next tick auto-resumes with a logged expiry. ``None`` = hold until
+        an explicit :meth:`resume`."""
+        self._state["pause_deadline"] = (
+            None if ttl is None else time.time() + float(ttl))
         self._pause.set()
 
     def resume(self) -> None:
+        self._state["pause_deadline"] = None
         self._pause.clear()
 
     @property
@@ -113,11 +121,23 @@ def stream_crawl(spark: SparkSession, engine: CrawlEngine,
     warehouse with committed rounds resumes (S5) instead of reseeding.
     """
     state = {"rnd": None, "next_seq": None, "watermark": None, "n_left": None,
-             "rounds_done": 0, "complete": False, "error": None}
+             "rounds_done": 0, "complete": False, "error": None,
+             "pause_deadline": None}
     pause_evt = threading.Event()
 
     def tick(_batch_df, _batch_id: int) -> None:
-        if pause_evt.is_set() or state["complete"] or state["error"]:
+        if pause_evt.is_set():
+            ddl = state["pause_deadline"]
+            if ddl is None or time.time() < ddl:
+                return
+            # listenerTTL expiry: a leaked pause handle must not stall the
+            # crawl forever (reference GC of stale wait() handlers)
+            import logging
+            logging.getLogger(__name__).warning(
+                "pause TTL expired after deadline — auto-resuming crawl")
+            state["pause_deadline"] = None
+            pause_evt.clear()
+        if state["complete"] or state["error"]:
             return
         if max_rounds is not None and state["rounds_done"] >= max_rounds:
             return

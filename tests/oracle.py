@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 
 from simplecrawler_spark.config import CrawlConfig
 from simplecrawler_spark.functions.canonicalize import canonicalize_one, split_host
+from simplecrawler_spark.functions.cookies import CookieJar
 from simplecrawler_spark.functions.links import _clean_raw
 from simplecrawler_spark.functions.mime import guess_mime
 from simplecrawler_spark.functions.robots import robots_allows
@@ -33,6 +34,8 @@ class OracleResult:
     seen: dict = field(default_factory=dict)         # url -> seq
     events: Counter = field(default_factory=Counter)
     rounds: int = 0
+    cookie_hdrs: dict = field(default_factory=dict)  # seq -> outbound Cookie header|None
+    jar: CookieJar | None = None                     # final jar state (cookies_on only)
 
 
 class OracleCrawler:
@@ -59,6 +62,13 @@ class OracleCrawler:
         # S6/J3 conditional-GET cache: url -> (etag, payload_ref); mirrors
         # operators/cache.cache_from_fetched_log's ETag formula
         self.cache: dict[str, tuple[str, str]] = {}
+        # D8 acceptCookies: responses' Set-Cookie headers accumulate in the
+        # jar at END of round (BSP — a round's requests all start before any
+        # response lands, same deferral as round_cache); active iff the knob
+        # is on AND the corpus carries the column (mirrors CrawlEngine)
+        self.jar = CookieJar()
+        self.cookies_on = bool(cfg.accept_cookies) and any(
+            "set_cookie" in r for r in web_rows)
 
     # --- shared-semantics helpers ---
     def _canon(self, raw, base):
@@ -209,7 +219,14 @@ class OracleCrawler:
                 break
             candidates = []  # (parent_seq, link_idx, url, depth, referrer)
             round_cache: list[tuple[str, tuple[str, str]]] = []
+            round_cookies: list[tuple[str, list]] = []
             for it in batch:
+                if self.cookies_on:
+                    # outbound Cookie header from the jar as of round start
+                    # (getRequestOptions → getAsHeader, crawler.js:≈L1140)
+                    path = re.sub(r"^[a-z]+://[^/]+", "", it["url_norm"]) or "/"
+                    res.cookie_hdrs[it["seq"]] = (
+                        self.jar.outbound_header(it["host"], path) or None)
                 status, event, row = self._classify(it)
                 it["status"] = status
                 # lifecycle events: fetchstart per attempt; fetchheaders once
@@ -218,6 +235,10 @@ class OracleCrawler:
                 self.events["fetchstart"] += 1
                 if row is not None and not row.get("failure"):
                     self.events["fetchheaders"] += 1
+                    if self.cookies_on and row.get("set_cookie"):
+                        # any completed response contributes its Set-Cookie
+                        # headers (cookies.addFromHeaders, crawler.js:≈L1350)
+                        round_cookies.append((it["host"], row["set_cookie"]))
                 self.events[event] += 1
                 if self.cfg.use_cache and status == "downloaded":
                     # deferred to end-of-round: the engine's cache view reads
@@ -270,9 +291,13 @@ class OracleCrawler:
                 self._admit(url, depth, ref, rnd)
             for url, entry in round_cache:
                 self.cache[url] = entry
+            for host, scs in round_cookies:
+                self.jar.add_from_headers(list(scs), host)
         if not any(it["status"] == "queued" for it in self.queue):
             self.events["complete"] += 1  # fixpoint reached (frontier drained)
         res.seen = dict(self.seen)
         res.events = self.events
         res.rounds = rnd
+        if self.cookies_on:
+            res.jar = self.jar
         return res

@@ -145,3 +145,67 @@ def test_interrupted_cleanup_is_ignored_and_collected(spark, corpus, tmp_path):
                                       compact_max_levels=2), web).run(resume=True)
     assert not os.path.isdir(stale)
     assert _tables(spark, resumed) == want
+
+
+def test_compact_seen_multichunk_byte_identity(spark, tmp_path):
+    """The streaming row-group writer must produce byte-identical level
+    files regardless of Arrow batch chunking: a run with 64-row input
+    batches (forcing many buffer flushes and row-group boundary crossings)
+    equals the default-batch run bit for bit, and rows land seq-sorted."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from simplecrawler_spark.plans.crawl import SEEN_SCHEMA
+    from simplecrawler_spark.storage.compaction import _compact_seen
+    from simplecrawler_spark.storage.snapshots import Warehouse
+
+    def build(whdir):
+        wh = Warehouse(whdir)
+        df = spark.range(5000).select(
+            F.col("id").alias("seq"),
+            F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                     F.lit(".example/p/"), F.col("id").cast("string")).alias("url_norm"),
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+            F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+            F.lit(1).alias("depth"),
+            F.lit(None).cast("string").alias("referrer"),
+            F.lit(0).cast("long").alias("parent_seq"),
+        )
+        for rnd in range(3):
+            (df.where(F.col("seq") % 3 == rnd)
+             .withColumn("round_queued", F.lit(rnd))
+             .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(4)).cast("int"))
+             .write.partitionBy("bucket").parquet(wh.round_dir("seen", rnd)))
+        layout = ([], [wh.round_dir("seen", r) for r in range(3)])
+        return wh, layout
+
+    outs = {}
+    for tag, batch_rows in (("default", None), ("tiny", 64)):
+        wh, layout = build(str(tmp_path / f"wh_{tag}"))
+        if batch_rows:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           str(batch_rows))
+        try:
+            # row_group=256 << 5000/4 rows per bucket: multi-group files
+            assert _compact_seen(spark, wh, 2, layout, SEEN_SCHEMA, row_group=256)
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        d = wh.compact_dir("seen", 2)
+        outs[tag] = {
+            b: open(os.path.join(d, b, "part-0.parquet"), "rb").read()
+            for b in sorted(os.listdir(d))
+        }
+    assert outs["default"].keys() == outs["tiny"].keys()
+    assert len(outs["default"]) >= 3  # several buckets actually exercised
+    for b in outs["default"]:
+        assert outs["default"][b] == outs["tiny"][b], f"{b}: bytes differ"
+    # content sanity on one file: all rows, sorted by seq, multi row group
+    wh = Warehouse(str(tmp_path / "wh_default"))
+    total = 0
+    for b in outs["default"]:
+        f = pq.ParquetFile(os.path.join(wh.compact_dir("seen", 2), b, "part-0.parquet"))
+        assert f.metadata.num_row_groups >= 2, (b, f.metadata.num_row_groups)
+        seqs = f.read(columns=["seq"]).column("seq").to_pylist()
+        assert seqs == sorted(seqs)
+        total += len(seqs)
+    assert total == 5000

@@ -432,3 +432,57 @@ def test_payload_verification_per_fetched_image(spark, corpus, tmp_path):
         for r in log2.where(
             "image_id is not null and status = 'downloaded'").collect())
     assert after == before
+
+
+def test_parity_cookie_accumulation(spark, tmp_path_factory, tmp_path):
+    """D8 acceptCookies (cookies.addFromHeaders in handleResponse,
+    crawler.js:≈L1350): Set-Cookie headers from round N-1's responses land in
+    the jar and round N's requests carry the matching outbound ``Cookie:``
+    header — engine ≡ oracle on the exact header STRING per request, expired
+    cookies excluded, and the jar survives freeze → defrost."""
+    d = str(tmp_path_factory.mktemp("corpus_cookies"))
+    p = CorpusParams(n_urls=400, n_hosts=5, seed=44, with_cookies=True)
+    write_corpus(spark, d, p)
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=64,
+                      filter_by_domain=False, dedupe_mode="exact",
+                      max_rounds=500)
+    result, oresult = _run_both(spark, d, cfg, tmp_path)
+    _assert_parity(spark, result, oresult)
+    eng = {r["seq"]: r["hdr_cookie"]
+           for r in result.fetched_log(spark).select("seq", "hdr_cookie").collect()}
+    assert eng == oresult.cookie_hdrs
+    carried = [h for h in eng.values() if h]
+    # round-1 requests see an empty jar, so ANY non-null header proves a
+    # cookie set in some round N-1 reached a round-N request
+    assert carried, "no request ever carried a cookie — fixture too weak"
+    assert any(";" in h for h in carried), "expected a multi-cookie header"
+    assert not any("old=1" in h for h in carried), "expired cookie sent"
+    # freeze → defrost: the jar is part of the snapshot (S4/S5)
+    web = spark.read.parquet(f"{d}/web")
+    eng2 = CrawlEngine(spark, cfg, web)
+    eng2.resume_state()
+    assert eng2.jar.to_rows(), "resumed jar is empty"
+    assert sorted(map(tuple, eng2.jar.to_rows())) == sorted(
+        map(tuple, oresult.jar.to_rows()))
+
+
+def test_parity_tiered_with_undersized_capacity_auto_resizes(spark, tmp_path_factory, tmp_path):
+    """A crawl launched with seen_capacity ~8× too small must COMPLETE (the
+    cuckoo sidecar auto-resizes from the authoritative parquet instead of
+    raising mid-round — the reference's _scanIndex hash map just grows) with
+    tiered ≡ oracle parity intact and at least one resized sidecar on disk."""
+    import numpy as np
+
+    d = str(tmp_path_factory.mktemp("corpus_resize"))
+    p = CorpusParams(n_urls=4000, n_hosts=6, seed=43)
+    write_corpus(spark, d, p)
+    cfg = CrawlConfig(seeds=["http://host0.example/p/0"], budget=512,
+                      filter_by_domain=False, dedupe_mode="tiered",
+                      seen_capacity=1024, n_buckets=1, max_rounds=500)
+    result, oresult = _run_both(spark, d, cfg, tmp_path)
+    _assert_parity(spark, result, oresult)
+    from simplecrawler_spark.operators.dedupe import sidecar_params
+
+    _, _, nb0 = sidecar_params(1024, 1, cfg.bloom_bits_per_key)
+    table = np.load(f"{cfg.warehouse}/sidecars/bucket=0/cuckoo.npy")
+    assert table.shape[0] > nb0, "expected >=1 logged cuckoo auto-resize"

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 
 from simplecrawler_spark.operators import dedupe as dd
@@ -78,3 +80,28 @@ def test_sidecar_save_load_roundtrip(tmp_path):
     dd.save_sidecars(root, 3, bits, table)
     b2, t2 = dd.load_sidecars(root, 3, 64, 8)
     assert np.array_equal(bits, b2) and np.array_equal(table, t2)
+
+
+def test_rebuild_sidecars_streaming_and_capacity_retry(spark, tmp_path):
+    """rebuild_sidecars streams (bucket, url_hash) batches and, when the
+    configured seen_capacity undersizes the cuckoo table, retries at doubled
+    capacity instead of raising; the final sidecars hold every key."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root, exist_ok=True)
+    n = 3000  # > 2048 slots of the capacity-1024 table (nb=512 × 4)
+    seen = spark.range(n).select(
+        F.lit(0).cast("int").alias("bucket"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    dd.rebuild_sidecars(spark, root, seen, n_buckets=1,
+                        seen_capacity=1024, bits_per_key=12)
+    import numpy as np
+
+    bits = np.load(os.path.join(root, "sidecars", "bucket=0", "bloom.npy"))
+    table = np.load(os.path.join(root, "sidecars", "bucket=0", "cuckoo.npy"))
+    assert table.shape[0] > 512, "capacity retry did not grow the table"
+    h = np.array([r["url_hash"] for r in seen.collect()], dtype=np.int64)
+    _, k, _ = dd.sidecar_params(1024, 1, 12)
+    assert dd.bloom_check(bits, h, k).all()
+    assert dd.cuckoo_check(table, h).all()

@@ -192,6 +192,44 @@ def test_ivf_partial_probe_recall_and_order(spark, embeddings):
     assert len(exact & {r["vec_id"] for r in got}) >= 1
 
 
+def test_ivf_kmeans_codebook_improves_recall(spark):
+    """Trained codebook (distributed spherical k-means, deterministic
+    farthest-first init) must beat the first-N codebook on planted clusters
+    where the N lowest-id vectors all sit in ONE cluster — the degenerate
+    case the lowest-id codebook cannot cover."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 5
+    # intra-cluster noise large enough (σ=2) that the degenerate codebook's
+    # assignment — driven by projections onto 8 near-identical cluster-0
+    # perturbation directions — scatters each cluster across several cells,
+    # while true cluster structure (center separation ≫ noise) stays crisp
+    rows = []
+    vid = 0
+    for c in range(8):  # cluster-major ids: ids 0..39 are ALL cluster 0
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 2.0
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [[float(x) for x in centers[c] + rng.standard_normal(16) * 2.0]
+               for c in (2, 4, 5, 6, 7)]  # held-out samples, one per cluster
+    cb = similarity.kmeans_codebook(df, n_centroids=8, n_iters=4)
+
+    def recall(q, codebook):
+        exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()}
+        got = {r["vec_id"] for r in similarity.ivf_flat_topk(
+            df, q, k=10, n_centroids=8, nprobe=1, codebook=codebook).collect()}
+        return len(exact & got) / 10
+
+    r_naive = np.mean([recall(q, None) for q in queries])
+    r_trained = np.mean([recall(q, cb) for q in queries])
+    assert r_trained > r_naive, (r_trained, r_naive)
+    assert r_trained >= 0.9  # one probed cell ≈ the planted cluster
+    # determinism: retraining yields the identical codebook
+    cb2 = similarity.kmeans_codebook(df, n_centroids=8, n_iters=4)
+    assert all(np.array_equal(a[1], b[1]) for a, b in zip(cb, cb2))
+
+
 def test_embedding_near_dupes(spark, embeddings):
     df, _ = embeddings
     got = {(r["a"], r["b"]) for r in

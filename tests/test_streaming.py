@@ -132,3 +132,18 @@ def test_stream_pause_resume(spark, small_corpus, tmp_path):
     stream_res = h.await_completion(timeout=300)
     assert stream_res.rounds >= 1
     assert _event_totals(stream_res, spark).get("complete") == 1
+
+
+def test_stream_pause_ttl_auto_resumes(spark, small_corpus, tmp_path):
+    """listenerTTL analog (crawler.js:≈L1770–1830): a pause with a TTL
+    expires on its own — a leaked handle can't stall the crawl forever. The
+    crawl must reach its normal fixpoint WITHOUT any explicit resume()."""
+    web = spark.read.parquet(f"{small_corpus}/web")
+    eng = CrawlEngine(spark, _cfg(str(tmp_path / "wh_ttl")), web)
+    h = stream_crawl(spark, eng, tick_seconds=0.2)
+    h.pause(ttl=3.0)
+    assert h.paused
+    # no resume() call anywhere past this point
+    stream_res = h.await_completion(timeout=300)
+    assert stream_res.rounds >= 1
+    assert _event_totals(stream_res, spark).get("complete") == 1
