@@ -46,6 +46,14 @@ def main() -> None:
                     help="cap rounds: steady-state throughput measurement that "
                          "excludes the tiny closure-tail rounds a finite sandbox "
                          "graph produces (a 10^10 frontier never drains)")
+    ap.add_argument("--legacy-protocol", action="store_true",
+                    help="protocol v1 control: NO in-process warm-up and the "
+                         "final URL count as a Spark count job INSIDE the timed "
+                         "window — the pre-continuation-session protocol. Used "
+                         "to record control pairs that quantify how much of a "
+                         "cross-protocol efficiency delta is the protocol "
+                         "itself (the warm-up removes a fixed serial cost that "
+                         "weighs ~4x more on the fast level).")
     args = ap.parse_args()
 
     from simplecrawler_spark.session import get_spark
@@ -110,19 +118,20 @@ def main() -> None:
     # Arrow createDataFrame, a pandas UDF, a shuffle agg, a parquet write.
     from pyspark.sql import functions as F
 
-    @F.pandas_udf("string")
-    def _wu(s: pd.Series) -> pd.Series:
-        return s
+    if not args.legacy_protocol:
+        @F.pandas_udf("string")
+        def _wu(s: pd.Series) -> pd.Series:
+            return s
 
-    _wdf = spark.createDataFrame(pd.DataFrame(
-        {"x": list(range(20000)),
-         "s": [f"http://warmup.example/p/{i}" for i in range(20000)]}))
-    _wtmp = tempfile.mkdtemp(prefix="warmup_")
-    (_wdf.withColumn("s2", _wu("s"))
-     .groupBy((F.col("x") % 32).alias("k")).agg(F.count(F.lit(1)).alias("n"))
-     .write.mode("overwrite").parquet(_wtmp))
-    spark.read.parquet(_wtmp).count()
-    shutil.rmtree(_wtmp, ignore_errors=True)
+        _wdf = spark.createDataFrame(pd.DataFrame(
+            {"x": list(range(20000)),
+             "s": [f"http://warmup.example/p/{i}" for i in range(20000)]}))
+        _wtmp = tempfile.mkdtemp(prefix="warmup_")
+        (_wdf.withColumn("s2", _wu("s"))
+         .groupBy((F.col("x") % 32).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(_wtmp))
+        spark.read.parquet(_wtmp).count()
+        shutil.rmtree(_wtmp, ignore_errors=True)
 
     t0 = time.time()
     from simplecrawler_spark.plans.crawl import CrawlEngine
@@ -132,11 +141,18 @@ def main() -> None:
     robots = spark.read.parquet(f"{corpus}/robots")
     eng = CrawlEngine(spark, cfg, web, images, robots, corpus_params=p)
     res = eng.run()
-    # URLs fetched = sum of committed per-round batch sizes (manifest JSON).
-    # Each round's fetched delta was already footer-verified to hold exactly
-    # n_batch rows inside the loop (_ensure_fetched_complete), so a final
-    # Spark count job would re-measure bookkeeping, not crawl work.
-    n = sum(m.get("batch", 0) for m in res.warehouse.lineage(res.rounds))
+    if args.legacy_protocol:
+        # protocol v1: the count is a Spark job inside the timed window
+        from simplecrawler_spark.storage.compaction import read_warehouse_table
+        n = read_warehouse_table(spark, res.warehouse, "fetched",
+                                 res.rounds, "seq long, round int").count()
+    else:
+        # URLs fetched = sum of committed per-round batch sizes (manifest
+        # JSON). Each round's fetched delta was already footer-verified to
+        # hold exactly n_batch rows inside the loop
+        # (_ensure_fetched_complete), so a final Spark count job would
+        # re-measure bookkeeping, not crawl work.
+        n = sum(m.get("batch", 0) for m in res.warehouse.lineage(res.rounds))
     dt = time.time() - t0
     # cross-check OUTSIDE the timed window: recount from parquet footers
     import pyarrow.parquet as pq
@@ -150,6 +166,8 @@ def main() -> None:
     print(json.dumps({"cores": args.cores, "urls": int(n),
                       "seconds": round(dt, 2), "urls_per_sec": round(n / dt, 1),
                       "rounds": res.rounds,
+                      "protocol": ("v1-legacy" if args.legacy_protocol
+                                   else "v2-warmup-manifest"),
                       "phases": {k: round(v, 1) for k, v in sorted(eng.phase_secs.items())}}))
 
 

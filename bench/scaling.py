@@ -61,6 +61,10 @@ def main() -> None:
     ap.add_argument("--img-frac", type=float, default=0.08)
     ap.add_argument("--img-sizes", default="16,32,64")
     ap.add_argument("--max-rounds", type=int, default=500)
+    ap.add_argument("--legacy-protocol", action="store_true",
+                    help="forwarded to run_crawl: protocol v1 (no in-process "
+                         "warm-up, Spark count in-window) — control pairs that "
+                         "make efficiency cells comparable across protocols")
     ap.add_argument("--no-aqe", action="store_true",
                     help="forwarded to run_crawl: AQE's per-shuffle query-stage "
                          "barriers are pure serial latency per round (measured "
@@ -74,6 +78,8 @@ def main() -> None:
              "--img-sizes", args.img_sizes, "--max-rounds", str(args.max_rounds)]
     if args.no_aqe:
         extra.append("--no-aqe")
+    if args.legacy_protocol:
+        extra.append("--legacy-protocol")
 
     # prepare corpus once (excluded from timing)
     env = dict(os.environ, PYTHONPATH=REPO)
@@ -105,6 +111,8 @@ def main() -> None:
         "scaling_factor": factor,
         "efficiency": round(eff, 3),
         "pass_0.8": eff >= 0.8,
+        "protocol": ("v1-legacy" if args.legacy_protocol
+                     else "v2-warmup-manifest"),
     }
     print(json.dumps(summary), flush=True)
     out = args.out or os.path.join(REPO, "bench_out", "scaling.json")
