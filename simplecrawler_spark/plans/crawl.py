@@ -336,26 +336,25 @@ class CrawlEngine:
 
     def _admit_dedupe_assign(self, cands: DataFrame, rnd: int, next_seq: int,
                              seen_df_exact: DataFrame | None,
-                             bounds: tuple[int, int] | None = None,
-                             referrers: DataFrame | None = None,
-                             n_ref: int = 0) -> tuple[int, list]:
+                             bounds: tuple[int, int] | None = None) -> tuple[int, list]:
         """Shared by seeding (round 0) and discovery: gates → dedupe → seq.
         ``bounds`` = known (min,max) parent_seq of the candidates (the fetch
         batch's seq range) — saves an aggregation job.
 
-        ``referrers`` = (parent_seq, referrer) derived from the round's fetch
-        batch (``n_ref`` rows). The candidate stream is the round's WIDEST
-        flow — every discovered link crosses the dedupe groupBy exchange, the
-        tiered-probe Arrow round trip and the seq-assignment exchange — and
-        ``referrer`` (the parent page's full URL, ~45 B) plus ``host``
-        (~18 B, derivable from url_norm) were ~half its row width. Both are
-        dropped right after the admission gates (which still see them) and
-        restored AFTER dedupe+numbering: referrer via ONE join of the (much
-        smaller) new-URL set against the batch-derived relation (broadcast
-        when the batch is small, merge join at wide-crawl budgets), host via
-        ``regexp_extract`` — bit-identical values by construction, ~45%
-        fewer bytes through the round's three widest exchanges (the 2→8
-        scaling pair's measured bottleneck is exactly these shuffle bytes)."""
+        Shuffle-width note: the candidate stream is the round's WIDEST flow —
+        every discovered link crosses the dedupe groupBy exchange, the
+        tiered-probe Arrow round trip and the seq-assignment exchange.
+        ``host`` (~18 B, derivable from url_norm by regexp) is dropped right
+        after the admission gates (which see the full row) and recomputed at
+        write time — bit-identical, join-free. ``referrer`` deliberately
+        STAYS in the stream: the map-side min_by combine collapses duplicate
+        candidates before the groupBy exchange, so referrer costs ~45 B per
+        post-combine row, which a clean serialized A/B measured CHEAPER than
+        the alternative (restoring it after dedupe via a parent_seq join
+        against the round's batch — a full extra sort-merge shuffle at wide-
+        crawl budgets: 245 s vs 226 s on the pinned 4-core 8M-URL cell; the
+        earlier +29% claim for the join variant was contaminated by a
+        concurrent official scaling run, see BENCH.md §4)."""
         import time as _t
 
         from pyspark.sql import Observation
@@ -395,7 +394,7 @@ class CrawlEngine:
         admitted = gated.where(F.col("reject").isNull()).drop("reject")
         # slim the candidate rows for the wide exchanges (docstring above);
         # the admission gates and condition specs above saw the full row
-        admitted = admitted.drop("referrer", "host")
+        admitted = admitted.drop("host")
 
         # in-batch first-wins dedupe (U3/J1): min_by over (parent_seq,
         # link_idx) — map-side combinable partial agg, so heavily duplicated
@@ -440,17 +439,9 @@ class CrawlEngine:
             # entries) — a single bucket-partitioned write serves scheduling
             # (seq-pruned), exact dedupe (url_hash-pruned) AND the sidecar
             # update, saving a job + a shuffle every round.
-            # restore the columns dropped for the wide exchanges: referrer by
-            # parent_seq lookup against the round's batch, host recomputed
-            # from url_norm — bit-identical to the pre-drop values
-            restored = numbered
-            if referrers is not None:
-                rside = F.broadcast(referrers) if n_ref <= 100_000 else referrers
-                restored = restored.join(rside, "parent_seq", "left")
-            else:
-                restored = restored.withColumn(
-                    "referrer", F.lit(None).cast("string"))
-            restored = restored.withColumn(
+            # restore the column dropped for the wide exchanges: host
+            # recomputed from url_norm — bit-identical to the pre-drop value
+            restored = numbered.withColumn(
                 "host", F.regexp_extract("url_norm", _HOST_RE, 1))
             queued = restored.withColumn("round_queued", F.lit(rnd)).select(*QUEUED_COLS, "round_queued")
             if cfg.dedupe_mode == "tiered":
@@ -1009,13 +1000,8 @@ class CrawlEngine:
             )
             cands = _with_host_hash(cands)
 
-            # (parent_seq → referrer) for the post-dedupe restore: exactly
-            # the round's batch, so every candidate's parent resolves
-            referrers = batch.select(F.col("seq").alias("parent_seq"),
-                                     F.col("url_norm").alias("referrer"))
             n_new, metrics_rows = self._admit_dedupe_assign(
-                cands, rnd, next_seq, seen_df_exact, bounds=(b_lo, b_hi),
-                referrers=referrers, n_ref=n_batch)
+                cands, rnd, next_seq, seen_df_exact, bounds=(b_lo, b_hi))
             # the fetched writer ran inside the same job; verify completeness
             # from parquet footers (driver-side, ~ms) — a task killed after
             # its file landed but re-run from cache could otherwise leave a
