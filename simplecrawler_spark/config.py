@@ -63,6 +63,22 @@ class CrawlConfig:
     # amount (True) or by at most N extra levels (int). False = plain gate.
     fetch_whitelisted_mime_below_max_depth: bool | int = False
 
+    # --- fetch seam (S2) ---
+    # "table": batch ⋈ web corpus (operators/fetch.fetch_batch — the testable
+    # in-sandbox internet). "http": real network GETs via mapInPandas
+    # (operators/http_fetch.http_fetch) — same output contract, same
+    # downstream plan; pair with discovery_mode="html" (real servers return
+    # bytes, not pre-extracted link arrays).
+    fetch_mode: str = "table"
+    fetch_timeout_ms: float = 300_000.0    # reference `timeout` (crawler.js:≈L300)
+    http_threads_per_task: int = 8         # engine knob: I/O threads per fetch task
+    # useProxy/proxyHostname/proxyPort (crawler.js:≈L330); the seam sets the
+    # proxy EXPLICITLY from these (never from env vars) so every executor
+    # behaves identically
+    use_proxy: bool = False
+    proxy_hostname: str = "127.0.0.1"
+    proxy_port: int = 8123
+
     # cache + conditional GET (reference `cache` option, S6/J3): re-fetched
     # URLs carry If-None-Match from the cache view over the fetched log; an
     # ETag match turns the fetch into a 304/`notmodified` that reuses the

@@ -62,12 +62,21 @@ def cache_from_fetched_log(fetched: DataFrame) -> DataFrame:
     cache entry whose ETag is the deterministic payload identity (table-mode
     stand-in for the server's header; the reference stores it verbatim in
     ``cacheindex.json``, lib/cache-backend-fs.js:≈L60). No extra write path,
-    no extra consistency surface; compaction bounds the read set."""
+    no extra consistency surface; compaction bounds the read set.
+
+    ``fetch_mode="http"`` deltas carry the server's REAL ``ETag`` header in
+    an ``etag`` column (operators/http_fetch.py) — stored verbatim, exactly
+    like the reference's ``cacheindex.json``; rows without one (table-mode
+    crawls, servers that sent no ETag) fall back to the deterministic
+    identity."""
     d = fetched.where(F.col("status") == "downloaded")
+    synthetic = F.md5(F.concat_ws(
+        "|", "url_norm", F.coalesce(F.col("image_id"), F.lit("")),
+        F.col("body_size").cast("string")))
     return d.select(
         "url_hash",
-        F.md5(F.concat_ws("|", "url_norm", F.coalesce(F.col("image_id"), F.lit("")),
-                          F.col("body_size").cast("string"))).alias("etag"),
+        (F.coalesce(F.col("etag"), synthetic) if "etag" in d.columns
+         else synthetic).alias("etag"),
         F.col("round_fetched").cast("long").alias("last_modified"),
         F.coalesce(F.col("image_id"), F.col("url_norm")).alias("payload_ref"),
         F.col("round_fetched").cast("int").alias("round_cached"),

@@ -94,7 +94,11 @@ def classify(outcomes: DataFrame, cfg: CrawlConfig,
     # 304 instead of 200 — table mode computes the identity the same way
     # cache_from_fetched_log does, so "content unchanged" ⇔ "etag match",
     # exactly the If-None-Match contract (crawler.js:≈L1160–1200, ≈L1360)
-    if "cached_etag" in outcomes.columns:
+    # the synthetic identity is a TABLE-MODE stand-in for the server; in
+    # fetch_mode="http" the real server answers our If-None-Match with a real
+    # 304 (operators/http_fetch.py) — deriving a match from body_size here
+    # would misclassify a changed-but-same-size page as notmodified
+    if "cached_etag" in outcomes.columns and cfg.fetch_mode != "http":
         server_etag = F.md5(F.concat_ws(
             "|", "url_norm", F.coalesce(F.col("image_id"), F.lit("")),
             F.col("body_size").cast("string")))
@@ -317,19 +321,17 @@ def build_request_headers(batch: DataFrame, cfg: CrawlConfig,
     return out.withColumn("hdr_if_none_match", F.col("cached_etag"))
 
 
-def http_fetch(batch: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Real-network fetch seam (S2 on a cluster): mapInPandas batches issuing
-    HTTP GETs, using the per-row headers from :func:`build_request_headers`
-    (UA, Cookie, If-None-Match, Referer, Accept-Encoding, Authorization,
-    Proxy-Authorization, customHeaders merged last) and sleeping to the W3
-    pacing offsets from
-    :func:`~simplecrawler_spark.operators.pacing.request_start_offsets`
-    (interval ticks + per-host crawl-delay spacing — that function is pure
-    and unit-tested, so the seam's pacing math is pinned without a network).
-    The sandbox has no network and no HTTP client lib — deliberately
-    stubbed; the join-based :func:`fetch_batch` is the tested drop-in (same
-    output schema, same downstream plan)."""
-    raise NotImplementedError(
-        "real HTTP fetch requires network access; use fetch_batch(web) — "
-        "same output schema, same downstream plan"
-    )
+def http_fetch(batch: DataFrame, cfg: CrawlConfig,
+               extra_cols: list[str] | None = None, **kw) -> DataFrame:
+    """Real-network fetch seam (S2, ``fetch_mode="http"``): mapInPandas
+    batches issuing HTTP GETs with the per-row headers from
+    :func:`build_request_headers` (UA, Cookie, If-None-Match, Referer,
+    Accept-Encoding, Authorization, Proxy-Authorization, customHeaders
+    merged last) and the W3/J6 pacing offsets from
+    :func:`~simplecrawler_spark.operators.pacing.request_start_offsets`.
+    Implementation: :mod:`simplecrawler_spark.operators.http_fetch` — same
+    output contract as :func:`fetch_batch`, same downstream plan; exercised
+    end-to-end against a loopback server (tests/test_http_fetch.py), which
+    is as much network as this sandbox has."""
+    from simplecrawler_spark.operators.http_fetch import http_fetch as impl
+    return impl(batch, cfg, extra_cols=extra_cols, **kw)

@@ -37,8 +37,9 @@ from simplecrawler_spark.functions.links import clean_expand_series
 from simplecrawler_spark.operators import dedupe as dd
 from simplecrawler_spark.operators.admission import admit, robots_rules_simple, seed_host_set
 from simplecrawler_spark.functions.cookies import CookieJar
-from simplecrawler_spark.operators.fetch import (classify, cookie_header_udf,
-                                                 fetch_batch, verify_payloads)
+from simplecrawler_spark.operators.fetch import (build_request_headers, classify,
+                                                 cookie_header_udf, fetch_batch,
+                                                 verify_payloads)
 from simplecrawler_spark.operators.scheduler import assign_seq, select_batch
 from simplecrawler_spark.storage.compaction import plan_and_compact, read_warehouse_table
 from simplecrawler_spark.storage.snapshots import Warehouse
@@ -53,7 +54,9 @@ SEEN_SCHEMA = ("seq long, url_norm string, url_hash long, host string, depth int
 FETCHED_SEQ_SCHEMA = "seq long, round int"
 # column-pruned fetched read for the conditional-GET cache view (S6/J3)
 FETCHED_CACHE_SCHEMA = ("url_norm string, url_hash long, image_id string, "
-                        "body_size long, status string, round_fetched int, round int")
+                        "body_size long, status string, round_fetched int, "
+                        "etag string, round int")  # etag: real header,
+                        # http-mode deltas only; reads as null elsewhere
 # column-pruned fetched-delta read for the per-round payload-verify job
 FETCHED_PAYLOAD_SCHEMA = ("seq long, url_norm string, image_id string, "
                           "caption string, status string")
@@ -187,7 +190,11 @@ class CrawlEngine:
         # the corpus actually carries Set-Cookie headers — otherwise the
         # round pays zero (no extra column, no fold job, unchanged schema).
         self.jar = CookieJar()
-        self._cookies_on = bool(cfg.accept_cookies) and "set_cookie" in web.columns
+        # http mode: every real server may send Set-Cookie; table mode: only
+        # when the corpus actually carries the column (zero cost otherwise)
+        self._cookies_on = bool(cfg.accept_cookies) and (
+            cfg.fetch_mode == "http"
+            or (web is not None and "set_cookie" in web.columns))
 
     def _tick(self, phase: str, t0: float) -> float:
         import time as _t
@@ -507,9 +514,19 @@ class CrawlEngine:
             joined = hosts.join(self.robots_txt, "host", "left")
         else:
             joined = hosts.withColumn("body", F.lit(None).cast("string"))
+        # real mode with no robots_txt table: GET http://{host}/robots.txt
+        # inside the same distributed pass (operators/http_fetch.py)
+        http_robots = self.robots_txt is None and self.cfg.fetch_mode == "http"
+        cfg_local = self.cfg
 
         def parse(batches):
+            if http_robots:
+                from simplecrawler_spark.operators.http_fetch import (
+                    fetch_robots_bodies)
             for pdf in batches:
+                if http_robots:
+                    pdf = pdf.assign(
+                        body=fetch_robots_bodies(pdf["host"], cfg_local))
                 out = []
                 for host, body in zip(pdf["host"], pdf["body"]):
                     if body is None:
@@ -857,17 +874,33 @@ class CrawlEngine:
                          .otherwise(0))
             html_mode = cfg.discovery_mode == "html"
             fetch_in = batch
+            cache_rel = None
             if cfg.use_cache:
                 # J3 — annotate the batch with cached ETag/payload ref (the
-                # If-None-Match headers a real seam would send); the cache is
+                # If-None-Match headers the real seam sends); the cache is
                 # a derived view over the fetched log, no second table
                 from simplecrawler_spark.operators.cache import (
                     cache_from_fetched_log, with_conditional_headers)
                 flog = read_warehouse_table(self.spark, self.wh, "fetched",
                                             rnd - 1, FETCHED_CACHE_SCHEMA)
-                fetch_in = with_conditional_headers(
-                    batch, cache_from_fetched_log(flog) if flog is not None else None)
-            if self._cookies_on:
+                cache_rel = (cache_from_fetched_log(flog)
+                             if flog is not None else None)
+                if cfg.fetch_mode != "http":
+                    fetch_in = with_conditional_headers(batch, cache_rel)
+            if cfg.fetch_mode == "http":
+                # S2 real seam: the full getRequestOptions header set (UA,
+                # Cookie from the jar as of end of round R-1, If-None-Match
+                # from the cache view, Referer, Accept-Encoding, auth,
+                # customHeaders merged last) — then real GETs below; same
+                # output contract as fetch_batch, so everything downstream
+                # (classify, discovery, gates, dedupe, writer) is
+                # mode-agnostic
+                fetch_in = build_request_headers(
+                    batch, cfg,
+                    cookie_rows=(self.jar.to_rows()
+                                 if self._cookies_on else None),
+                    cache=cache_rel)
+            elif self._cookies_on:
                 # D8: this round's requests carry the jar as of the END of
                 # round R-1 (BSP: all fetches in a round start simultaneously
                 # — same deferral as the conditional-GET cache view). The
@@ -883,8 +916,15 @@ class CrawlEngine:
                         "hdr_cookie", F.lit(None).cast("string"))
             extra_cols = (["body", "content_encoding"] if html_mode else []) + (
                 ["set_cookie"] if self._cookies_on else [])
-            outcomes = classify(fetch_batch(fetch_in, self.web, batch_rows=n_batch,
-                                            extra_cols=extra_cols or None), cfg,
+            if cfg.fetch_mode == "http":
+                from simplecrawler_spark.operators.http_fetch import http_fetch
+                # + etag: the server's real header, persisted in the delta so
+                # the cache view stores it verbatim (S6)
+                raw = http_fetch(fetch_in, cfg, extra_cols=extra_cols + ["etag"])
+            else:
+                raw = fetch_batch(fetch_in, self.web, batch_rows=n_batch,
+                                  extra_cols=extra_cols or None)
+            outcomes = classify(raw, cfg,
                                 self.download_conditions).observe(
                 ev_obs,
                 *[F.sum(F.when(F.col("event") == e, 1).otherwise(0)).alias(e)
@@ -939,6 +979,7 @@ class CrawlEngine:
                 "request_latency_ms", "download_time_ms", "request_time_ms",
                 "payload_ref", "headers",
                 *(("hdr_cookie", "set_cookie") if self._cookies_on else ()),
+                *(("etag",) if cfg.fetch_mode == "http" else ()),
                 "round_fetched",
                 # discovery inputs ride along and are dropped by the writer
                 "links", "redirect_to", "mime_supported",
