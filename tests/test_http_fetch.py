@@ -210,6 +210,94 @@ def test_http_fetch_outbound_headers_and_304(spark):
         srv.shutdown()
 
 
+def test_http_fetch_crawl_delay_spacing(spark):
+    """W3/J6 in the seam: with an explicit per-host crawl_delay the GETs for
+    one host are spaced by at least the delay (request_start_offsets pinned
+    separately; this checks the seam actually sleeps to them)."""
+    import time
+
+    spec = {f"/p{i}": dict(body=b"x", ctype="text/plain") for i in range(4)}
+    srv, handler, host = _serve(spec)
+    # timestamp each arrival
+    times: list[float] = []
+    orig = handler.do_GET
+
+    def timed(self):
+        times.append(time.perf_counter())
+        orig(self)
+    handler.do_GET = timed
+    try:
+        cfg = CrawlConfig(fetch_mode="http", fetch_timeout_ms=5000.0)
+        urls = [f"http://{host}/p{i}" for i in range(4)]
+        req = build_request_headers(
+            _batch(spark, urls).coalesce(1), cfg)  # one task: in-task spacing
+        out = http_fetch(req, cfg, crawl_delays={host: 0.3}).collect()
+        assert len(out) == 4 and all(r["found"] for r in out)
+        gaps = [b - a for a, b in zip(sorted(times), sorted(times)[1:])]
+        assert len(gaps) == 3 and all(g >= 0.2 for g in gaps), gaps
+    finally:
+        srv.shutdown()
+
+
+def test_http_fetch_image_payload_invariant(spark):
+    """Image payloads over the wire (the graft's image axis on the real
+    seam): real GETs return the encoded bytes for all three corpus formats,
+    and an Arrow-batched decode recomputes the perceptual hash and true PSNR
+    vs the deterministically regenerated original — the BASELINE per-row
+    invariant (exact pixels for lossless png/ppm, PSNR ≥ 40 dB for lossy
+    qpng), with the decode in a batched kernel, no per-row Python outside
+    it."""
+    import pandas as pd
+
+    from simplecrawler_spark import codec
+    from simplecrawler_spark.corpus import CorpusParams, gen_image_array
+
+    p = CorpusParams()
+    ids, want = [], {"png", "qpng", "ppm"}
+    i = 0
+    while want:
+        _, fmt = gen_image_array(i, p)
+        if fmt in want:
+            want.discard(fmt)
+            ids.append((i, fmt))
+        i += 1
+    spec = {}
+    for i, fmt in ids:
+        img, _ = gen_image_array(i, p)
+        spec[f"/img{i}.{fmt}"] = dict(body=codec.encode(img, fmt),
+                                      ctype=f"image/{fmt}")
+    srv, handler, host = _serve(spec)
+    try:
+        cfg = CrawlConfig(fetch_mode="http", fetch_timeout_ms=5000.0)
+        urls = [f"http://{host}{path}" for path in sorted(spec)]
+        req = build_request_headers(_batch(spark, urls), cfg)
+        fetched = classify(http_fetch(req, cfg, extra_cols=["body"]), cfg)
+
+        def decode_verify(batches):
+            for pdf in batches:
+                out = []
+                for url, body in zip(pdf["url_norm"], pdf["body"]):
+                    img_id = int(url.rsplit("img", 1)[1].split(".")[0])
+                    fmt = url.rsplit(".", 1)[1]
+                    orig, _ = gen_image_array(img_id, p)
+                    dec = codec.decode(bytes(body), fmt)
+                    ok = (codec.psnr(orig, dec) >= 40.0 if fmt == "qpng"
+                          else bool((orig == dec).all()))
+                    out.append((url, ok))
+                yield pd.DataFrame(out, columns=["url_norm", "payload_ok"])
+
+        rows = fetched.mapInPandas(
+            decode_verify, schema="url_norm string, payload_ok boolean").collect()
+        assert len(rows) == 3 and all(r["payload_ok"] for r in rows)
+        # images are downloaded (downloadUnsupported default) but never
+        # discovery-scanned (MIME not whitelisted)
+        st = fetched.select("status", "mime_supported").collect()
+        assert all(r["status"] == "downloaded" and not r["mime_supported"]
+                   for r in st)
+    finally:
+        srv.shutdown()
+
+
 def _page(links):
     return ("<html><body>" + "".join(f'<a href="{x}">x</a>' for x in links)
             + "</body></html>").encode()
@@ -320,6 +408,47 @@ def test_http_crawl_matches_table_crawl(spark, tmp_path):
         assert cookied and all(h["Cookie"] == "sid=abc123" for h in cookied)
         # and the canonical seed really was fetched over HTTP
         assert canonicalize_one(seed, None) == seed
+    finally:
+        srv.shutdown()
+
+
+def test_http_stream_matches_http_batch(spark, tmp_path):
+    """§2.9 × S2: the Structured-Streaming wrapper (one micro-batch == one
+    BSP round) drives the REAL seam too — the streamed http crawl's durable
+    tables match the batch http crawl's."""
+    import time
+
+    from simplecrawler_spark.plans.crawl import CrawlResult
+    from simplecrawler_spark.streaming.stream import stream_crawl
+
+    srv, handler, host = _serve({})
+    try:
+        spec, _ = _e2e_site(host)
+        handler.spec = spec
+        common = dict(seeds=[f"http://{host}/"], budget=2, max_rounds=3,
+                      discovery_mode="html", fetch_mode="http",
+                      robots_mode="lazy", respect_robots_txt=True,
+                      dedupe_mode="exact", fetch_timeout_ms=5000.0)
+        batch_res = CrawlEngine(
+            spark, CrawlConfig(warehouse=str(tmp_path / "wh_hb"), **common),
+            web=None).run()
+        eng = CrawlEngine(
+            spark, CrawlConfig(warehouse=str(tmp_path / "wh_hs"),
+                               **{**common, "max_rounds": 500}), web=None)
+        q = stream_crawl(spark, eng, tick_seconds=0.2, max_rounds=3)
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if eng.wh.latest_round() is not None and eng.wh.latest_round() >= 3:
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert eng.wh.latest_round() >= 3
+        stream_res = CrawlResult(eng.wh, 3, 0)
+        key = ["round_fetched", "seq", "url_norm", "status"]
+        assert (sorted(map(tuple, batch_res.fetched_log(spark).select(*key).collect()))
+                == sorted(map(tuple, stream_res.fetched_log(spark).select(*key)
+                              .where(F.col("round_fetched") <= batch_res.rounds)
+                              .collect())))
     finally:
         srv.shutdown()
 
