@@ -123,8 +123,13 @@ def main() -> None:
     ]
     queries = entry_mod.queries()
     for name in headline:
-        df = queries[name](spark, SF_DIR)
+        # time CONSTRUCTION + execution: some operators run driver-side work
+        # (stats jobs, persist materialization) while BUILDING the DataFrame,
+        # and timing only the write hid a 200 s serial plan-construction
+        # defect in simhash_md5_pairs for two rounds (BENCH.md §4; fixed in
+        # pipeline/dedup.py the same session this window moved)
         t0 = time.time()
+        df = queries[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         # operators persist() shared subtrees internally (registered in
@@ -139,10 +144,12 @@ def main() -> None:
     out = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
-        # protocol v2 (r4+): operator queries run in a fresh SparkContext
-        # after the crawl (isolation fix, BENCH.md §4); cells remain cold
-        # single runs so they stay comparable with r1–r3 modulo that fix
-        "protocol": "v2-isolated-operators",
+        # protocol v2 (r4): operator queries run in a fresh SparkContext
+        # after the crawl (isolation fix, BENCH.md §4); v3 (r4 continuation):
+        # the timed window additionally includes DataFrame CONSTRUCTION
+        # (driver-side stats jobs / persist materialization), not just the
+        # write — cells remain cold single runs
+        "protocol": "v3-constructed-operators",
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(SF_DIR),

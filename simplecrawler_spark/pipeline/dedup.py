@@ -399,12 +399,24 @@ def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              "as int), 3 - cast(j % 4 as int)) & 1) - 1)")
     votes = (f"aggregate(transform({grams}, gr -> md5(gr)), "
              f"array_repeat(0, 64), (acc, hx) -> zip_with(acc, {gbits}, (x, y) -> x + y))")
-    bits = f"transform({votes}, v -> case when v > 0 then 1 else 0 end)"
-    segs = ("transform(sequence(0, 3), s -> aggregate(sequence(0, 15), 0L, "
-            "(acc, k) -> acc + cast(element_at(bits, cast(s * 16 + k as int) + 1) as bigint) "
-            "* cast(pow(2, k) as bigint)))")
-    return (docs.select(F.col(id_col), F.expr(bits).alias("bits"))
-            .select(id_col, "bits", F.expr(segs).alias("segs")))
+    # LET-BINDING, load-bearing for performance: bits and segs both derive
+    # from `votes` (the expensive whole-document md5 vote aggregate). If segs
+    # referenced a `bits` COLUMN from a previous projection, Catalyst's
+    # CollapseProject would substitute the full votes expression into every
+    # one of segs' 64 element_at(bits, ...) references (and, under a
+    # downstream posexplode, into the Generate as well) — measured ~65×
+    # re-evaluation: 0.8 s → 190 s on the sf0.1 documents table. Binding the
+    # evaluated array to a lambda variable via a single-element transform()
+    # keeps ONE evaluation per row no matter how later projections collapse.
+    bits_of = "transform(v, x -> case when x > 0 then 1 else 0 end)"
+    segs_of = ("transform(sequence(0, 3), s -> aggregate(sequence(0, 15), 0L, "
+               "(acc, k) -> acc + cast(case when element_at(v, cast(s * 16 + k as int) + 1) > 0 "
+               "then 1 else 0 end as bigint) * cast(pow(2, k) as bigint)))")
+    packed = (f"transform(array({votes}), v -> "
+              f"named_struct('bits', {bits_of}, 'segs', {segs_of}))[0]")
+    return (docs.select(F.col(id_col), F.expr(packed).alias("_p"))
+            .select(id_col, F.col("_p.bits").alias("bits"),
+                    F.col("_p.segs").alias("segs")))
 
 
 def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3, shingle: int = 5,
@@ -415,7 +427,11 @@ def simhash_md5_pairs(docs: DataFrame, max_hamming: int = 3, shingle: int = 5,
     pigeonhole guarantee makes blocking LOSSLESS (≥1 segment must be equal),
     so this equals the brute-force O(n²) scan the DuckDB oracle runs —
     an exactly-verifiable LSH path. ``mode`` as in :func:`simhash_md5`."""
-    fps = simhash_md5(docs, text_col, id_col, shingle, mode=mode)
+    # persist the fingerprint relation BEFORE deriving the exploded view:
+    # the InMemoryRelation is a materialization barrier, so CollapseProject
+    # cannot substitute the vote aggregate into the posexplode/Generate
+    # (belt to simhash_md5's let-binding braces — each guards the other)
+    fps = _persist(simhash_md5(docs, text_col, id_col, shingle, mode=mode))
     seg = fps.select(
         F.col(id_col).alias("doc_id"), "bits",
         F.posexplode("segs").alias("seg_id", "seg_val"))

@@ -375,3 +375,46 @@ def test_release_cached_registry(spark, docs):
     n = pl.release_cached()
     assert n >= 1  # the gram-hash scan persist was registered and released
     assert pl.release_cached() == 0
+
+
+def test_simhash_md5_single_evaluation_under_collapse(spark):
+    """Guardrail for the round-4 CollapseProject regression: simhash_md5's
+    bits/segs both derive from the per-document md5 vote aggregate. When segs
+    referenced a `bits` column from a previous projection, Catalyst collapsed
+    the projections and re-evaluated the full aggregate for every one of the
+    64 element_at references (and again under posexplode's Generate) —
+    measured 0.8 s → 190 s on the sf0.1 documents table. The fix binds the
+    evaluated vote array to a lambda variable (single-element transform()
+    let-binding) inside ONE expression, so later projection collapse cannot
+    multiply evaluations.
+
+    Two pins, both box-speed independent in spirit:
+    (1) plan shape — the optimized plan of the exploded view must contain a
+        bounded number of md5( occurrences (the let-binding keeps the packed
+        expression whole; pre-fix the hazard was invisible at the logical
+        level but the post-fix expression is collapse-proof BY SHAPE: one
+        lambda binding per occurrence, never 64 substitutions);
+    (2) a generous wall ceiling on the full pairs query over 500 docs —
+        pre-fix this took ~20 s (65× re-evaluation), post-fix well under 3 s
+        even cold; 15 s trips only on a real complexity regression."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"tok{i % 7} common words " + " ".join(
+        f"w{j}" for j in range(i % 11 + 3))) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = dedup.simhash_md5(docs, mode="word")
+    exploded = fps.select(
+        "doc_id", "bits", F.posexplode("segs").alias("seg_id", "seg_val"))
+    plan = exploded._jdf.queryExecution().optimizedPlan().toString()
+    # one evaluation per packed-expression occurrence; collapse may duplicate
+    # the whole packed expr a few times (bits ref + generator ref), never 64×
+    assert plan.count("md5(") <= 4, plan.count("md5(")
+
+    t0 = time.time()
+    pairs = dedup.simhash_md5_pairs(docs, max_hamming=3, mode="word")
+    pairs.collect()
+    wall = time.time() - t0
+    assert wall < 15.0, f"simhash_md5_pairs took {wall:.1f}s on 500 docs"
