@@ -996,7 +996,20 @@ class CrawlEngine:
             if html_mode:
                 yield_cols += ["body", "content_encoding", "content_type"]
             yield_schema = fetched_sel.select(*yield_cols).schema
-            stream = fetched_sel.mapInArrow(
+            # cap the stage's task count at the session's compute parallelism
+            # (cfg.round_tasks): the fused scan→join→writer stage otherwise
+            # runs one task per CORPUS BUCKET, and each Python-runner task
+            # carries ~185 ms of fixed protocol cost on this box even warm
+            # (BENCH.md §2e) — 64 buckets × 0.5 s was the dominant term of
+            # the measured 8.3 s/round serial floor. coalesce is NARROW (no
+            # exchange, the zero-shuffle fetch join is untouched): each
+            # parent bucket still merge-joins independently; the coalesced
+            # task just consumes several buckets' outputs sequentially. A
+            # no-op whenever the target ≥ the current partition count, so
+            # warehouse-scale corpora (buckets ≫ cluster cores is the normal
+            # big-cluster shape only when misconfigured) are unaffected.
+            target = self.cfg.round_tasks or self.spark.sparkContext.defaultParallelism
+            stream = fetched_sel.coalesce(target).mapInArrow(
                 self._fetched_writer(rnd, yield_cols), schema=yield_schema)
 
             # --- discovery (F2/F3) + redirect re-entry (J5), one pass ---
