@@ -54,6 +54,11 @@ def main() -> None:
                          "cross-protocol efficiency delta is the protocol "
                          "itself (the warm-up removes a fixed serial cost that "
                          "weighs ~4x more on the fast level).")
+    ap.add_argument("--round-tasks", type=int, default=0,
+                    help="cfg.round_tasks passthrough (0 = engine default: "
+                         "session parallelism). --round-tasks 64 reproduces the "
+                         "pre-§2e task shape (one Python task per corpus "
+                         "bucket) for overhead-padding control pairs")
     args = ap.parse_args()
 
     from simplecrawler_spark.session import get_spark
@@ -109,6 +114,7 @@ def main() -> None:
         filter_by_domain=False, dedupe_mode="tiered",
         seen_capacity=max(args.urls * 2, 200_000), n_buckets=32,
         shuffle_partitions=32, warehouse=wh, max_rounds=args.max_rounds,
+        round_tasks=args.round_tasks,
     )
     # JVM/Python cold-start warm-up, OUTSIDE the timed window: class loading,
     # interpreter JIT, Arrow init and the Python-worker pool spawn are

@@ -73,6 +73,19 @@ def main() -> None:
                     help="output JSON path (default bench_out/scaling.json; "
                          "official cells go under bench/results/ so they are "
                          "committed and judge-verifiable)")
+    ap.add_argument("--interleave", action="store_true",
+                    help="protocol v3: alternate lo,hi,lo,hi,... and report the "
+                         "MEDIAN OF PER-ADJACENT-PAIR efficiencies instead of "
+                         "the ratio of per-level medians. Motivation (BENCH.md "
+                         "§2f): this box drifts monotonically ~7-27%% WITHIN a "
+                         "session (host-level, reproduced with zero engine code "
+                         "in the r4d plane controls), so a block protocol (all "
+                         "lo then all hi) aliases the drift into the ratio with "
+                         "a sign that depends on run order; adjacent pairs see "
+                         "near-identical box state, cancelling linear drift")
+    ap.add_argument("--round-tasks", type=int, default=0,
+                    help="cfg.round_tasks passthrough; 64 reproduces the "
+                         "pre-§2e task shape for overhead-padding controls")
     args = ap.parse_args()
     extra = ["--seeds", str(args.seeds), "--img-frac", str(args.img_frac),
              "--img-sizes", args.img_sizes, "--max-rounds", str(args.max_rounds)]
@@ -80,6 +93,8 @@ def main() -> None:
         extra.append("--no-aqe")
     if args.legacy_protocol:
         extra.append("--legacy-protocol")
+    if args.round_tasks:
+        extra += ["--round-tasks", str(args.round_tasks)]
 
     # prepare corpus once (excluded from timing)
     env = dict(os.environ, PYTHONPATH=REPO)
@@ -89,21 +104,50 @@ def main() -> None:
 
     levels = [int(c) for c in args.cores.split(",")]
     results = {}
-    for cores in levels:
-        runs = [run_once(cores, args.urls, args.budget, args.images, extra)
-                for _ in range(args.runs)]
-        timed = runs[1:] if len(runs) > 1 else runs  # discard warm-up
-        med = statistics.median(r["seconds"] for r in timed)
-        rate = statistics.median(r["urls_per_sec"] for r in timed)
-        results[cores] = {"median_seconds": med, "median_urls_per_sec": rate,
-                          "rounds": runs[-1]["rounds"], "urls": runs[-1]["urls"],
-                          "all_runs": runs}
-        print(json.dumps({"cores": cores, **{k: v for k, v in results[cores].items()
-                                             if k != "all_runs"}}), flush=True)
+    pair_effs = None
+    if args.interleave:
+        lo_l, hi_l = min(levels), max(levels)
+        # one discarded warm-up pair, then args.runs timed adjacent pairs
+        pairs = []
+        for i in range(args.runs + 1):
+            r_lo = run_once(lo_l, args.urls, args.budget, args.images, extra)
+            r_hi = run_once(hi_l, args.urls, args.budget, args.images, extra)
+            pairs.append((r_lo, r_hi))
+            eff = r_hi["urls_per_sec"] / ((hi_l / lo_l) * r_lo["urls_per_sec"])
+            print(json.dumps({"pair": i, "warmup": i == 0,
+                              "lo_seconds": r_lo["seconds"],
+                              "hi_seconds": r_hi["seconds"],
+                              "pair_efficiency": round(eff, 3)}), flush=True)
+        timed_pairs = pairs[1:]
+        pair_effs = [p[1]["urls_per_sec"] / ((hi_l / lo_l) * p[0]["urls_per_sec"])
+                     for p in timed_pairs]
+        for cores, idx in ((lo_l, 0), (hi_l, 1)):
+            runs = [p[idx] for p in pairs]
+            timed = [p[idx] for p in timed_pairs]
+            results[cores] = {
+                "median_seconds": statistics.median(r["seconds"] for r in timed),
+                "median_urls_per_sec": statistics.median(r["urls_per_sec"] for r in timed),
+                "rounds": runs[-1]["rounds"], "urls": runs[-1]["urls"],
+                "all_runs": runs}
+    else:
+        for cores in levels:
+            runs = [run_once(cores, args.urls, args.budget, args.images, extra)
+                    for _ in range(args.runs)]
+            timed = runs[1:] if len(runs) > 1 else runs  # discard warm-up
+            med = statistics.median(r["seconds"] for r in timed)
+            rate = statistics.median(r["urls_per_sec"] for r in timed)
+            results[cores] = {"median_seconds": med, "median_urls_per_sec": rate,
+                              "rounds": runs[-1]["rounds"], "urls": runs[-1]["urls"],
+                              "all_runs": runs}
+            print(json.dumps({"cores": cores, **{k: v for k, v in results[cores].items()
+                                                 if k != "all_runs"}}), flush=True)
 
     lo, hi = min(levels), max(levels)
     factor = hi / lo
-    eff = results[hi]["median_urls_per_sec"] / (factor * results[lo]["median_urls_per_sec"])
+    if pair_effs is not None:
+        eff = statistics.median(pair_effs)
+    else:
+        eff = results[hi]["median_urls_per_sec"] / (factor * results[lo]["median_urls_per_sec"])
     summary = {
         "urls": args.urls, "budget": args.budget,
         "low": {"cores": lo, **{k: results[lo][k] for k in ("median_seconds", "median_urls_per_sec", "rounds")}},
@@ -112,8 +156,11 @@ def main() -> None:
         "efficiency": round(eff, 3),
         "pass_0.8": eff >= 0.8,
         "protocol": ("v1-legacy" if args.legacy_protocol
+                     else "v3-interleaved-pairs" if pair_effs is not None
                      else "v2-warmup-manifest"),
     }
+    if pair_effs is not None:
+        summary["pair_efficiencies"] = [round(e, 3) for e in pair_effs]
     print(json.dumps(summary), flush=True)
     out = args.out or os.path.join(REPO, "bench_out", "scaling.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -127,16 +127,19 @@ class CrawlConfig:
     # --- engine / scale knobs (no reference analog) ---
     n_buckets: int = 32                    # url_seen hash-partition buckets (bloom/cuckoo sidecars per bucket)
     shuffle_partitions: int = 32
-    round_tasks: int = 0                   # compute-task cap for the round's fused
-                                           # scan→fetch-join→writer stage; 0 = session
-                                           # defaultParallelism. Decouples COMPUTE
-                                           # parallelism (sized to the cluster) from
-                                           # STORAGE bucketing (web_buckets/n_buckets,
-                                           # sized to the data): a narrow coalesce —
-                                           # each corpus bucket still merge-joins
-                                           # independently — so fewer Python-runner
-                                           # round trips per round (~185 ms/task fixed
-                                           # cost measured on this box, BENCH.md §2e)
+    round_tasks: int = 0                   # compute-task count for the round's fused
+                                           # scan→fetch-join→writer stage; 0 = sized
+                                           # to the round's DATA (~32k batch rows per
+                                           # task, floored at session parallelism —
+                                           # BENCH.md §2e/§2f). Decouples COMPUTE
+                                           # parallelism from STORAGE bucketing
+                                           # (web_buckets/n_buckets): a narrow
+                                           # coalesce — each corpus bucket still
+                                           # merge-joins independently — so small
+                                           # protocol-bound rounds run one wave
+                                           # (~185 ms/task fixed Python-runner cost
+                                           # measured on this box) while big rounds
+                                           # keep fine granularity for load balance
     dedupe_mode: str = "tiered"            # "exact" | "tiered" (bloom → cuckoo → exact)
     bloom_bits_per_key: int = 10
     seen_capacity: int = 2_000_000         # sizes the per-bucket bloom/cuckoo sidecars

@@ -996,19 +996,26 @@ class CrawlEngine:
             if html_mode:
                 yield_cols += ["body", "content_encoding", "content_type"]
             yield_schema = fetched_sel.select(*yield_cols).schema
-            # cap the stage's task count at the session's compute parallelism
-            # (cfg.round_tasks): the fused scan→join→writer stage otherwise
-            # runs one task per CORPUS BUCKET, and each Python-runner task
-            # carries ~185 ms of fixed protocol cost on this box even warm
-            # (BENCH.md §2e) — 64 buckets × 0.5 s was the dominant term of
-            # the measured 8.3 s/round serial floor. coalesce is NARROW (no
-            # exchange, the zero-shuffle fetch join is untouched): each
-            # parent bucket still merge-joins independently; the coalesced
-            # task just consumes several buckets' outputs sequentially. A
-            # no-op whenever the target ≥ the current partition count, so
-            # warehouse-scale corpora (buckets ≫ cluster cores is the normal
-            # big-cluster shape only when misconfigured) are unaffected.
-            target = self.cfg.round_tasks or self.spark.sparkContext.defaultParallelism
+            # size the stage's COMPUTE task count to the round's data volume
+            # (cfg.round_tasks to override): the fused scan→join→writer stage
+            # otherwise runs one task per CORPUS BUCKET, and each Python-runner
+            # task carries ~185 ms of fixed protocol cost on this box even warm
+            # (BENCH.md §2e) — 64 buckets × 0.5 s was the dominant term of the
+            # measured 8.3 s/round serial floor on protocol-bound small rounds.
+            # Sizing rule (BENCH.md §2f, measured both regimes): ~32k batch
+            # rows per task, floored at session parallelism — small rounds run
+            # one wave (floor; cuts the serial floor 43%), big rounds keep
+            # fine granularity for load balance (the 1v4 control showed coarse
+            # coalesce(cores) loses ~2% at the 4-core level to tail skew on
+            # 750k-row rounds). Task count thus depends on DATA, not on the
+            # storage layout (web_buckets/n_buckets) and not on which cluster
+            # size runs the job. coalesce is NARROW (no exchange, the
+            # zero-shuffle fetch join is untouched): each parent bucket still
+            # merge-joins independently; a coalesced task consumes several
+            # buckets' outputs sequentially. No-op whenever the target ≥ the
+            # current partition count (coalesce never raises partition count).
+            target = self.cfg.round_tasks or max(
+                self.spark.sparkContext.defaultParallelism, n_batch // 32768)
             stream = fetched_sel.coalesce(target).mapInArrow(
                 self._fetched_writer(rnd, yield_cols), schema=yield_schema)
 
