@@ -230,6 +230,24 @@ def test_ivf_kmeans_codebook_improves_recall(spark):
     assert all(np.array_equal(a[1], b[1]) for a, b in zip(cb, cb2))
 
 
+def test_kmeans_training_slice_bounded(spark):
+    """``n_train`` caps the training input to the deterministic lowest-id
+    slice: training on the full table with ``n_train=16`` must yield the
+    EXACT codebook of training on the first-16-id subset — i.e. rows outside
+    the slice are provably never touched (init scans or Lloyd rounds)."""
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    head = spark.createDataFrame(rows[:16], "vec_id long, embedding array<float>")
+    capped = similarity.kmeans_codebook(df, n_centroids=4, n_iters=3, n_train=16)
+    slice_only = similarity.kmeans_codebook(head, n_centroids=4, n_iters=3,
+                                            n_train=None)
+    assert all(np.array_equal(a[1], b[1]) for a, b in zip(capped, slice_only))
+    # and the uncapped path still differs (rows beyond the slice matter)
+    full = similarity.kmeans_codebook(df, n_centroids=4, n_iters=3, n_train=None)
+    assert not all(np.array_equal(a[1], b[1]) for a, b in zip(capped, full))
+
+
 def test_embedding_near_dupes(spark, embeddings):
     df, _ = embeddings
     got = {(r["a"], r["b"]) for r in
