@@ -54,7 +54,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--urls", type=int, default=60000)
     ap.add_argument("--budget", type=int, default=8192)
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="block mode: child runs PER LEVEL (first discarded "
+                         "as warm-up when runs >= 2, so runs-1 timed samples). "
+                         "--interleave mode: TIMED adjacent lo/hi pairs — the "
+                         "tool runs runs+1 pairs (first pair discarded), i.e. "
+                         "2*(runs+1) child runs; same --runs value costs "
+                         "~2.7x more wall time than block mode")
     ap.add_argument("--images", action="store_true")
     ap.add_argument("--cores", default="2,8")
     ap.add_argument("--seeds", type=int, default=1)
@@ -106,6 +112,11 @@ def main() -> None:
     results = {}
     pair_effs = None
     if args.interleave:
+        if len(levels) != 2:
+            # silently running only min/max would label a 1v4 cell as if all
+            # requested levels ran — refuse instead (ADVICE r4)
+            ap.error(f"--interleave compares exactly two core levels, got "
+                     f"--cores {args.cores!r}")
         lo_l, hi_l = min(levels), max(levels)
         # one discarded warm-up pair, then args.runs timed adjacent pairs
         pairs = []

@@ -8,6 +8,7 @@ Usage: python bench/update_baseline_md.py BENCH_r03.json
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
@@ -25,6 +26,13 @@ def main(bench_json: str) -> None:
     md2, cnt = re.subn(pat, new, md)
     if cnt != 1:
         raise SystemExit(f"expected exactly one throughput cell, matched {cnt}")
+    # keep the cell's provenance citation pointing at the JSON the number
+    # actually came from (the r4 verdict flagged a stale BENCH_r02 cite)
+    src = os.path.basename(bench_json)
+    md2, cnt = re.subn(r"committed BENCH_r\d+\.json `crawl_urls_per_sec`",
+                       f"committed {src} `crawl_urls_per_sec`", md2)
+    if cnt != 1:
+        raise SystemExit(f"expected exactly one provenance cite, matched {cnt}")
     with open("BASELINE.md", "w") as f:
         f.write(md2)
     print(f"BASELINE.md cell <- {ups} URLs/s on {n:,} URLs (from {bench_json})")

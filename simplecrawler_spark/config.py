@@ -168,6 +168,13 @@ class CrawlConfig:
     # view (url → first seq) is unchanged. Admission gates still apply.
     force_seeds: list[str] = field(default_factory=list)
 
+    def __post_init__(self) -> None:
+        # fail fast on misconfiguration that would otherwise surface only at
+        # plan time mid-crawl (e.g. a negative round_tasks passes the
+        # `cfg.round_tasks or ...` guard and reaches DataFrame.coalesce())
+        if self.round_tasks < 0:
+            raise ValueError(f"round_tasks must be >= 0, got {self.round_tasks}")
+
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
 

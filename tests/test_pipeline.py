@@ -426,10 +426,13 @@ def test_simhash_md5_single_evaluation_under_collapse(spark):
     fps = dedup.simhash_md5(docs, mode="word")
     exploded = fps.select(
         "doc_id", "bits", F.posexplode("segs").alias("seg_id", "seg_val"))
-    plan = exploded._jdf.queryExecution().optimizedPlan().toString()
-    # one evaluation per packed-expression occurrence; collapse may duplicate
-    # the whole packed expr a few times (bits ref + generator ref), never 64×
-    assert plan.count("md5(") <= 4, plan.count("md5(")
+    # count Md5 expression NODES via the plan's JSON serialization (a full
+    # tree walk) — toString() truncates long expression trees under
+    # maxToStringFields, which could undercount and let a 64×-substitution
+    # regression slip past the shape pin (ADVICE r4)
+    plan_json = exploded._jdf.queryExecution().optimizedPlan().toJSON()
+    n_md5 = plan_json.count("org.apache.spark.sql.catalyst.expressions.Md5")
+    assert 1 <= n_md5 <= 4, n_md5
 
     t0 = time.time()
     pairs = dedup.simhash_md5_pairs(docs, max_hamming=3, mode="word")
