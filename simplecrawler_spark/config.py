@@ -72,6 +72,14 @@ class CrawlConfig:
     fetch_mode: str = "table"
     fetch_timeout_ms: float = 300_000.0    # reference `timeout` (crawler.js:≈L300)
     http_threads_per_task: int = 8         # engine knob: I/O threads per fetch task
+    # ignoreInvalidSSL (crawler.js:≈L310): accept self-signed / invalid
+    # certificates on https fetches — the reference's own test server runs
+    # HTTPS with a self-signed cert behind this knob (testserver.js :3001)
+    ignore_invalid_ssl: bool = False
+    # engine deployment knob (no reference analog): extra CA bundle for the
+    # https opener — a cluster fronted by an internal CA configures it here
+    # so every executor builds the same SSL context (never from env vars)
+    ssl_ca_file: str = ""
     # useProxy/proxyHostname/proxyPort (crawler.js:≈L330); the seam sets the
     # proxy EXPLICITLY from these (never from env vars) so every executor
     # behaves identically

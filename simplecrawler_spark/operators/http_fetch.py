@@ -113,15 +113,31 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
 
 
 def _build_opener(cfg: CrawlConfig) -> urllib.request.OpenerDirector:
-    """One opener per task: no redirects, and the proxy set EXPLICITLY from
+    """One opener per task: no redirects, the proxy set EXPLICITLY from
     config (reference useProxy/proxyHostname/proxyPort, crawler.js:≈L330) —
-    never from the environment, so behavior is identical on every executor."""
+    never from the environment, so behavior is identical on every executor —
+    and an explicit SSL context for https: ``ignore_invalid_ssl``
+    (``ignoreInvalidSSL``, crawler.js:≈L310 — the reference's own test suite
+    crawls a self-signed :3001 HTTPS server behind it) disables verification;
+    otherwise the context verifies against the system CAs plus the optional
+    ``ssl_ca_file`` bundle. An untrusted cert with the knob off surfaces as
+    ``clienterror`` (URLError → the reference's ``fetchclienterror``)."""
+    import ssl
+
     if getattr(cfg, "use_proxy", False):
         proxy = f"http://{cfg.proxy_hostname}:{cfg.proxy_port}"
         ph = urllib.request.ProxyHandler({"http": proxy, "https": proxy})
     else:
         ph = urllib.request.ProxyHandler({})
-    return urllib.request.build_opener(ph, _NoRedirect())
+    if getattr(cfg, "ignore_invalid_ssl", False):
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    else:
+        ctx = ssl.create_default_context(
+            cafile=getattr(cfg, "ssl_ca_file", "") or None)
+    hh = urllib.request.HTTPSHandler(context=ctx)
+    return urllib.request.build_opener(ph, hh, _NoRedirect())
 
 
 def _failed(kind: str, t0: float) -> dict:
@@ -276,19 +292,25 @@ def http_fetch(batch: DataFrame, cfg: CrawlConfig,
     return batch.mapInPandas(run, schema=out_schema)
 
 
-def fetch_robots_bodies(hosts: pd.Series, cfg: CrawlConfig) -> pd.Series:
-    """S3 real mode: GET ``http://{host}/robots.txt`` for a pandas Series of
-    hosts (inside the lazy-robots ``mapInPandas`` pass — distributed, one
-    request per NEW host ever seen). Non-2xx or transport failure → None
-    (permissive + ``robotstxterror``, the reference's getRobotsTxt error
-    path, ``crawler.js:≈L1080–1200``)."""
+def fetch_robots_bodies(hosts: pd.Series, protos: pd.Series | None,
+                        cfg: CrawlConfig) -> pd.Series:
+    """S3 real mode: GET ``{proto}://{host}/robots.txt`` for a pandas Series
+    of hosts (inside the lazy-robots ``mapInPandas`` pass — distributed, one
+    request per NEW host ever seen). ``protos`` carries each host's
+    first-seen URL scheme — the reference derives the robots URL from the
+    queue item's own protocol (``getRobotsTxt``, ``crawler.js:≈L1080``), so
+    an https-only host's robots is fetched over https, not a hardcoded
+    ``http://``. Non-2xx or transport failure → None (permissive +
+    ``robotstxterror``, the reference's getRobotsTxt error path,
+    ``crawler.js:≈L1080–1200``)."""
     opener = _build_opener(cfg)
     timeout_s = float(cfg.fetch_timeout_ms) / 1000.0
 
-    def get(host: str | None) -> str | None:
+    def get(host: str | None, proto) -> str | None:
         if not host:
             return None
-        r = fetch_one(opener, f"http://{host}/robots.txt",
+        scheme = proto if proto in ("http", "https") else "http"
+        r = fetch_one(opener, f"{scheme}://{host}/robots.txt",
                       {"User-Agent": cfg.user_agent}, timeout_s,
                       1024 * 1024)
         if r["failure"] is not None or not (200 <= (r["status_code"] or 0) < 300):
@@ -298,4 +320,7 @@ def fetch_robots_bodies(hosts: pd.Series, cfg: CrawlConfig) -> pd.Series:
         except Exception:
             return None
 
-    return hosts.map(get)
+    if protos is None:
+        return hosts.map(lambda h: get(h, None))
+    return pd.Series([get(h, p) for h, p in zip(hosts, protos)],
+                     index=hosts.index, dtype=object)

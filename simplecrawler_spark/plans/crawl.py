@@ -507,7 +507,15 @@ class CrawlEngine:
         from simplecrawler_spark.functions.robots import parse_robots_txt
 
         ua = self.cfg.user_agent
-        hosts = cands.select("host").where(F.col("host") != "").distinct()
+        # per-host FIRST-SEEN scheme (earliest candidate by discovery order):
+        # the reference derives the robots URL from the queue item's own
+        # protocol (getRobotsTxt, crawler.js:≈L1080) — an https-only host's
+        # robots must be fetched over https, not a hardcoded http://
+        hosts = (cands.where(F.col("host") != "")
+                 .groupBy("host")
+                 .agg(F.min_by(F.regexp_extract("url_norm", r"^([a-z]+)://", 1),
+                               F.struct("parent_seq", "link_idx"))
+                      .alias("proto")))
         if self.robots is not None:
             hosts = hosts.join(self.robots.select("host"), "host", "left_anti")
         if self.robots_txt is not None:
@@ -526,7 +534,8 @@ class CrawlEngine:
             for pdf in batches:
                 if http_robots:
                     pdf = pdf.assign(
-                        body=fetch_robots_bodies(pdf["host"], cfg_local))
+                        body=fetch_robots_bodies(pdf["host"], pdf["proto"],
+                                                 cfg_local))
                 out = []
                 for host, body in zip(pdf["host"], pdf["body"]):
                     if body is None:

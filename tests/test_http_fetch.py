@@ -102,6 +102,39 @@ def _serve(spec: dict):
     return srv, handler, f"127.0.0.1:{srv.server_address[1]}"
 
 
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed localhost cert (CN=localhost, SAN DNS:localhost +
+    IP:127.0.0.1) — the reference's own test server runs HTTPS on :3001 with
+    exactly such a cert to exercise ``ignoreInvalidSSL`` (SURVEY §5.1
+    testserver.js). Returns (certfile, keyfile); the cert doubles as its own
+    trust anchor for the ``ssl_ca_file`` "valid" leg of the parity matrix."""
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key,
+         "-out", cert, "-days", "3650", "-nodes", "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+        check=True, capture_output=True)
+    return cert, key
+
+
+def _serve_tls(spec: dict, certfile: str, keyfile: str):
+    """Loopback HTTPS server (testserver.js :3001 analog)."""
+    import ssl
+
+    handler = type("H", (_Handler,), {"spec": spec, "log": [],
+                                      "lock": threading.Lock()})
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, handler, f"127.0.0.1:{srv.server_address[1]}"
+
+
 def _batch(spark, urls):
     rows = [(i, u, i + 1000, u.split("://")[1].split("/")[0], 0, None)
             for i, u in enumerate(urls)]
@@ -298,12 +331,50 @@ def test_http_fetch_image_payload_invariant(spark):
         srv.shutdown()
 
 
+def test_https_ssl_parity_matrix(spark, tls_cert):
+    """HTTPS × cert-trust matrix (``ignoreInvalidSSL``, crawler.js:≈L310):
+
+    * self-signed cert, knob OFF, no CA → verification fails →
+      ``clienterror`` (the reference's fetchclienterror path);
+    * self-signed cert, ``ignore_invalid_ssl=True`` → downloaded;
+    * same cert TRUSTED via ``ssl_ca_file``, knob OFF → downloaded (the
+      valid-cert leg: verification including hostname/IP-SAN passes)."""
+    cert, key = tls_cert
+    srv, handler, host = _serve_tls(
+        {"/ok": dict(body=HTML, ctype="text/html; charset=utf-8")}, cert, key)
+    try:
+        url = f"https://{host}/ok"
+
+        def run(**kw):
+            cfg = CrawlConfig(fetch_mode="http", fetch_timeout_ms=5000.0, **kw)
+            req = build_request_headers(_batch(spark, [url]), cfg)
+            rows = classify(http_fetch(req, cfg, extra_cols=["body"]),
+                            cfg).collect()
+            assert len(rows) == 1
+            return rows[0]
+
+        r = run()  # untrusted, verification on
+        assert (r["status"], r["event"], r["failure"]) == (
+            "failed", "fetchclienterror", "clienterror")
+        assert not r["found"]
+
+        r = run(ignore_invalid_ssl=True)
+        assert (r["status"], r["event"]) == ("downloaded", "fetchcomplete")
+        assert bytes(r["body"]) == HTML
+
+        r = run(ssl_ca_file=cert)  # trusted → verification passes, knob off
+        assert (r["status"], r["event"]) == ("downloaded", "fetchcomplete")
+        assert bytes(r["body"]) == HTML
+    finally:
+        srv.shutdown()
+
+
 def _page(links):
     return ("<html><body>" + "".join(f'<a href="{x}">x</a>' for x in links)
             + "</body></html>").encode()
 
 
-def _e2e_site(host):
+def _e2e_site(host, scheme="http"):
     """One site, two representations: the live server spec and the
     byte-identical table-mode corpus rows."""
     gz_body = gzip.compress(_page(["/target"]))
@@ -330,7 +401,7 @@ def _e2e_site(host):
             continue
         body = s.get("body", b"")
         rows.append({
-            "url_id": i, "url_norm": f"http://{host}{path}", "host": host,
+            "url_id": i, "url_norm": f"{scheme}://{host}{path}", "host": host,
             "status_code": s.get("status", 200),
             "redirect_to": s.get("location"), "content_type": s.get("ctype"),
             "links": None, "image_id": None, "caption": None,
@@ -342,7 +413,7 @@ def _e2e_site(host):
         })
     nf = b"not found"  # the live server's default 404 for /missing
     rows.append({
-        "url_id": 99, "url_norm": f"http://{host}/missing", "host": host,
+        "url_id": 99, "url_norm": f"{scheme}://{host}/missing", "host": host,
         "status_code": 404, "redirect_to": None, "content_type": "text/plain",
         "links": None, "image_id": None, "caption": None,
         "robots_group": "open", "body_size": len(nf), "content_length": len(nf),
@@ -408,6 +479,53 @@ def test_http_crawl_matches_table_crawl(spark, tmp_path):
         assert cookied and all(h["Cookie"] == "sid=abc123" for h in cookied)
         # and the canonical seed really was fetched over HTTP
         assert canonicalize_one(seed, None) == seed
+    finally:
+        srv.shutdown()
+
+
+def test_https_crawl_matches_table_crawl(spark, tmp_path, tls_cert):
+    """S2 over TLS: the e2e byte-identity parity extended to an https crawl —
+    the live side is an HTTPS-ONLY server with a self-signed cert crawled
+    behind ``ignore_invalid_ssl`` (the reference's own suite shape:
+    testserver.js :3001 + ignoreInvalidSSL), the table side mirrors it with
+    https URLs. Also proves the robots URL is derived from the URL's own
+    scheme (S3): the server speaks ONLY TLS, so the recorded /robots.txt hit
+    — and the enforced /private gate — are impossible with a hardcoded
+    http:// robots fetch."""
+    from simplecrawler_spark.corpus import WEB_SCHEMA
+
+    cert, key = tls_cert
+    srv, handler, host = _serve_tls({}, cert, key)
+    try:
+        spec, rows = _e2e_site(host, scheme="https")
+        handler.spec = spec
+        seed = f"https://{host}/"
+        common = dict(seeds=[seed], budget=2, max_rounds=50,
+                      discovery_mode="html", robots_mode="lazy",
+                      respect_robots_txt=True, accept_cookies=True,
+                      dedupe_mode="exact", fetch_timeout_ms=5000.0)
+        cfg_http = CrawlConfig(fetch_mode="http", ignore_invalid_ssl=True,
+                               warehouse=str(tmp_path / "wh_https"), **common)
+        res_http = CrawlEngine(spark, cfg_http, web=None).run()
+
+        web = spark.createDataFrame(rows, WEB_SCHEMA + ", set_cookie array<string>")
+        robots_txt = spark.createDataFrame(
+            [(host, spec["/robots.txt"]["body"].decode())], "host string, body string")
+        cfg_tab = CrawlConfig(warehouse=str(tmp_path / "wh_tabs"), **common)
+        res_tab = CrawlEngine(spark, cfg_tab, web,
+                              robots_txt=robots_txt).run()
+
+        f_http = sorted(map(tuple, res_http.fetched_log(spark)
+                            .select(*_CMP_COLS).collect()))
+        f_tab = sorted(map(tuple, res_tab.fetched_log(spark)
+                           .select(*_CMP_COLS).collect()))
+        assert f_http == f_tab
+        assert res_http.events == res_tab.events
+        assert (sorted(r["url_norm"] for r in res_http.url_seen(spark).collect())
+                == sorted(r["url_norm"] for r in res_tab.url_seen(spark).collect()))
+        paths = [p for p, _ in handler.log]
+        assert "/robots.txt" in paths       # fetched over the URL's OWN scheme
+        assert "/private/x" not in paths    # and actually enforced
     finally:
         srv.shutdown()
 
