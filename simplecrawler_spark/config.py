@@ -106,6 +106,11 @@ class CrawlConfig:
     # within a round all fetches start simultaneously (Appendix C), exactly
     # like the conditional-GET cache view.
     accept_cookies: bool = True
+    # engine scale knob: the per-round cookie fold's driver collect is
+    # bounded by distinct cookie IDENTITIES (name, domain, path) — the jar's
+    # own size; this caps even that against hostile servers minting distinct
+    # cookie NAMES (most recently set identities kept, drop count logged)
+    cookie_jar_cap: int = 100_000
     auth_user: str = ""                    # authUser ('' = no Authorization header)
     auth_pass: str = ""                    # authPass
     proxy_user: str = ""                   # proxyUser ('' = no Proxy-Authorization)

@@ -117,6 +117,58 @@ class CookieJar:
         return jar
 
 
+def last_per_cookie_identity(df):
+    """Executor-side reduction of exploded ``Set-Cookie`` rows — columns
+    ``(seq, idx, host, sc)`` — to ONE row per cookie IDENTITY (name, domain,
+    path), keeping each identity's LAST occurrence by (seq, idx) as a struct
+    column ``o = (seq, idx, sc, host)``.
+
+    This is the jar's own memory model: ``CookieJar.add`` is
+    remove-then-append (reference ``cookies.js:≈L360``), so replaying ONLY
+    the last header per identity — ascending by its (seq, idx) — yields a
+    jar bit-identical to replaying every response's headers sequentially:
+    per identity, both the final value AND the jar position come from the
+    key's last add. The reduction is pure JVM expressions (the identity
+    extraction mirrors :meth:`Cookie.from_set_cookie` exactly — crosscheck
+    pinned in tests), map-side combinable (max), one shuffle on the
+    identity — so the driver-side collect is bounded by DISTINCT IDENTITIES
+    (jar size), never O(responses): a web that mints per-session cookie
+    VALUES (``sid=<random>`` per response) still reduces to one row.
+
+    Identity semantics (``Cookie.from_set_cookie``):
+      * name  — first ``;`` part, before the first ``=``, trimmed;
+      * domain — LAST nonempty (case-insensitive) ``Domain`` attribute,
+        leading dots stripped, lowercased; default = the request host;
+      * path  — LAST nonempty ``Path`` attribute; default ``/``.
+    """
+    from pyspark.sql import functions as F
+
+    parts = F.split(F.col("sc"), ";")
+    attrs = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    kv = F.transform(attrs, lambda p: F.struct(
+        F.lower(F.trim(F.substring_index(p, "=", 1))).alias("k"),
+        F.when(F.instr(p, "=") > 0,
+               F.trim(F.substr(p, F.instr(p, "=") + F.lit(1))))
+        .otherwise(F.lit("")).alias("v")))
+
+    def last_attr(key):
+        return F.try_element_at(
+            F.filter(kv, lambda x: (x["k"] == key) & (x["v"] != "")),
+            F.lit(-1))["v"]
+
+    dom = last_attr("domain")
+    return (df.select(
+        F.trim(F.substring_index(F.try_element_at(parts, F.lit(1)), "=", 1))
+        .alias("c_name"),
+        F.when(dom.isNotNull(),
+               F.lower(F.regexp_replace(dom, r"^\.+", "")))
+        .otherwise(F.col("host")).alias("c_domain"),
+        F.coalesce(last_attr("path"), F.lit("/")).alias("c_path"),
+        "seq", "idx", "sc", "host")
+        .groupBy("c_name", "c_domain", "c_path")
+        .agg(F.max(F.struct("seq", "idx", "sc", "host")).alias("o")))
+
+
 def outbound_header_series(hosts, paths, cookies: list[Cookie], now: float | None = None):
     """Vectorized ``Cookie:`` header for a whole Arrow batch of (host, path)
     rows — the fetch-seam fast path (``getRequestOptions`` builds this header

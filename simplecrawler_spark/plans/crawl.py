@@ -568,26 +568,42 @@ class CrawlEngine:
         """D8 acceptCookies — fold round ``rnd``'s Set-Cookie headers into the
         jar (reference: ``cookies.addFromHeaders`` in handleResponse,
         ``lib/crawler.js:≈L1350``). Reads the just-committed fetched delta
-        (column-pruned, footer-bounded — no pipeline re-execution), reduces to
-        DISTINCT (host, header) pairs keyed by their LAST occurrence position,
-        and replays ascending. Provably ≡ replaying every response's headers
-        sequentially in (seq, header_idx) order: for each (name, domain, path)
-        key the final value AND the jar position come from the key's last add
-        in both schemes (CookieJar.add is remove-then-append). The collect is
-        bounded by the corpus's distinct cookie-header diversity — config
-        scale, never O(responses)."""
+        (column-pruned, footer-bounded — no pipeline re-execution), reduces
+        EXECUTOR-SIDE to one row per distinct cookie IDENTITY (name, domain,
+        path) keyed by its LAST (seq, header_idx) occurrence — pure-JVM
+        expressions, map-side combinable (functions/cookies.
+        last_per_cookie_identity) — and replays ascending. Provably ≡
+        replaying every response's headers sequentially: CookieJar.add is
+        remove-then-append, so per identity both the final value and the jar
+        position come from the key's last add. The collect is bounded by the
+        JAR size (distinct identities), never O(responses) — a web minting
+        per-session cookie VALUES (``sid=<random>`` per response) still
+        collapses to one row per identity. ``cfg.cookie_jar_cap`` bounds even
+        the identity count (hostile servers minting distinct NAMES): the cap
+        keeps the most recently set identities and logs the drop count."""
+        from simplecrawler_spark.functions.cookies import last_per_cookie_identity
+
         df = (self.spark.read.schema(self.COOKIE_FOLD_SCHEMA)
               .parquet(self.wh.round_dir("fetched", rnd))
               .where(F.col("failure").isNull() & F.col("set_cookie").isNotNull()
                      & (F.size("set_cookie") > 0))
               .select("seq", "host",
-                      F.posexplode("set_cookie").alias("idx", "sc"))
-              .groupBy("host", "sc")
-              .agg(F.max(F.struct("seq", "idx")).alias("o")))
-        pairs = df.collect()
-        pairs.sort(key=lambda r: (r["o"]["seq"], r["o"]["idx"]))
-        for r in pairs:
-            self.jar.add_from_headers(r["sc"], r["host"])
+                      F.posexplode("set_cookie").alias("idx", "sc")))
+        cap = int(getattr(self.cfg, "cookie_jar_cap", 100_000))
+        rows = (last_per_cookie_identity(df)
+                .orderBy(F.desc("o")).limit(cap + 1).collect())
+        if len(rows) > cap:
+            # exact drop count costs one extra agg — only on the rare
+            # overflow path (the kept set is still the cap most recent)
+            n_total = last_per_cookie_identity(df).count()
+            _LOG.warning(
+                "round %d: cookie fold dropped %d of %d distinct cookie "
+                "identities (cookie_jar_cap=%d; oldest-set dropped)",
+                rnd, n_total - cap, n_total, cap)
+            rows = rows[:cap]
+        rows.sort(key=lambda r: (r["o"]["seq"], r["o"]["idx"]))
+        for r in rows:
+            self.jar.add_from_headers(r["o"]["sc"], r["o"]["host"])
 
     def _reload_robots(self, rnd: int) -> None:
         """Swap the admission relation to the union of all robots deltas;

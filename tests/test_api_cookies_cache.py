@@ -97,6 +97,119 @@ def test_outbound_header_series_matches_scalar():
         assert (got.iat[i] or "") == want, (h, p, got.iat[i], want)
 
 
+def test_last_per_cookie_identity_matches_sequential_replay(spark):
+    """The executor-side identity reduction (pure-JVM expressions) must yield
+    a jar BIT-IDENTICAL to sequentially replaying every Set-Cookie header in
+    (seq, idx) order — over a matrix of nasty headers: repeated Domain/Path
+    attributes (last wins), leading dots, mixed case, attrs without '=',
+    missing '=', whitespace, per-response unique values, expiry attrs."""
+    from simplecrawler_spark.functions.cookies import last_per_cookie_identity
+
+    responses = [
+        ("a.example", ["sid=v1; Path=/"]),
+        ("a.example", ["sid=v2; Path=/"]),                      # replaces
+        ("b.example", ["sid=v3; Path=/"]),                      # other host
+        ("a.example", ["t = spaced ; Domain=.A.Example ; Path=/p"]),
+        ("a.example", ["t=x; domain=a.example; path=/p; HttpOnly"]),
+        ("a.example", ["u=1; Domain=x.example; Domain=.Y.Example; Path=/a; Path=/b"]),
+        ("c.example", ["nov", "k=v; Path"]),                    # no '=' cases
+        ("a.example", ["exp=1; Expires=Thu, 01 Jan 1970 00:00:00 GMT"]),
+        ("a.example", ["sid=v4; Path=/other"]),                 # distinct path
+        ("b.example", ["m=1; Max-Age=100; Secure"]),
+    ] + [("d.example", [f"sess={i}; Path=/"]) for i in range(50)]
+    rows = [(seq, host, idx, sc)
+            for seq, (host, hdrs) in enumerate(responses)
+            for idx, sc in enumerate(hdrs)]
+    df = spark.createDataFrame(rows, "seq long, host string, idx int, sc string")
+
+    seq_jar = CookieJar()
+    for _, host, _, sc in rows:
+        seq_jar.add_from_headers(sc, host)
+
+    got = last_per_cookie_identity(df).collect()
+    # bounded by distinct identities, never O(responses)
+    assert len(got) == len(seq_jar.cookies)
+    got.sort(key=lambda r: (r["o"]["seq"], r["o"]["idx"]))
+    red_jar = CookieJar()
+    for r in got:
+        red_jar.add_from_headers(r["o"]["sc"], r["o"]["host"])
+    # values AND jar order identical; `expires` from Max-Age is parse-time
+    # relative (time.time()+N), so compare it approximately
+    assert len(red_jar.cookies) == len(seq_jar.cookies)
+    for a, b in zip(red_jar.to_rows(), seq_jar.to_rows()):
+        assert a[:4] == b[:4] and a[5:] == b[5:], (a, b)
+        assert (a[4] is None) == (b[4] is None)
+        if a[4] is not None:
+            assert abs(a[4] - b[4]) < 120.0
+    # the JVM identity extraction == the Python parser's identity
+    for r in got:
+        c = Cookie.from_set_cookie(r["o"]["sc"], r["o"]["host"])
+        assert (r["c_name"], r["c_domain"], r["c_path"]) == (
+            c.name, c.domain, c.path), r["o"]["sc"]
+
+
+def test_cookie_fold_collect_bounded_by_jar(spark, tmp_path):
+    """Round-4 verdict scale risk #1: a server minting a UNIQUE cookie VALUE
+    per response (sid=<random>) must NOT make the fold's driver collect
+    O(responses) — 10^4 responses with unique values reduce to the jar-size
+    row count, and the engine's fold produces the sequential-replay jar."""
+    from simplecrawler_spark.functions.cookies import last_per_cookie_identity
+
+    n = 10_000
+    df = spark.createDataFrame(
+        [(i, f"h{i % 3}.example", 0, f"sid=v{i}; Path=/") for i in range(n)],
+        "seq long, host string, idx int, sc string")
+    got = last_per_cookie_identity(df).collect()
+    assert len(got) == 3  # one identity per host — the jar's size
+    # and the winners are each host's LAST response
+    last = {f"h{k}.example": max(i for i in range(n) if i % 3 == k)
+            for k in range(3)}
+    for r in got:
+        assert r["o"]["seq"] == last[r["o"]["host"]]
+        assert r["o"]["sc"] == f"sid=v{r['o']['seq']}; Path=/"
+
+
+def test_cookie_fold_cap_drops_oldest(spark, tmp_path):
+    """cookie_jar_cap: when one round sets more distinct identities than the
+    cap, the fold keeps the MOST RECENTLY set ones (by seq, idx) and logs
+    the drop count — exercised through the engine's in-crawl fold path."""
+    import logging
+
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.corpus import WEB_SCHEMA
+    from simplecrawler_spark.plans.crawl import CrawlEngine
+
+    host = "h.example"
+    rows = [{
+        "url_id": i, "url_norm": f"http://{host}/p{i}", "host": host,
+        "status_code": 200, "redirect_to": None, "content_type": "text/html",
+        "links": [], "image_id": None, "caption": None,
+        "robots_group": "open", "body_size": 10, "content_length": 10,
+        "request_latency_ms": None, "download_time_ms": None,
+        "request_time_ms": None, "failure": None, "body": None,
+        "content_encoding": None, "set_cookie": [f"c{i}=v{i}; Path=/"],
+    } for i in range(6)]
+    web = spark.createDataFrame(rows, WEB_SCHEMA + ", set_cookie array<string>")
+    cfg = CrawlConfig(seeds=[f"http://{host}/p{i}" for i in range(6)],
+                      budget=6, max_rounds=3, respect_robots_txt=False,
+                      accept_cookies=True, cookie_jar_cap=2,
+                      dedupe_mode="exact", warehouse=str(tmp_path / "wh_cap"))
+    eng = CrawlEngine(spark, cfg, web)
+    records: list = []
+    h = logging.Handler()
+    h.emit = records.append
+    logger = logging.getLogger("simplecrawler_spark.plans.crawl")
+    logger.addHandler(h)
+    try:
+        eng.run()
+    finally:
+        logger.removeHandler(h)
+    # all 6 fetched in ONE round (seeds, budget=6) → cap keeps the last two
+    assert [c.name for c in eng.jar.cookies] == ["c4", "c5"]
+    msgs = [r.getMessage() for r in records]
+    assert any("cookie fold dropped 4 of 6" in m for m in msgs), msgs
+
+
 def test_build_request_headers_join(spark, corpus, tmp_path):
     """Fetch-seam header construction (getRequestOptions analog): UA constant,
     Cookie from the jar, If-None-Match from the cache table, Referer from the
