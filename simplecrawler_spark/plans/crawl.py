@@ -683,9 +683,12 @@ class CrawlEngine:
         self._bump("crawlstart", 1)  # Appendix B: emitted once by start()
         metrics_rows = [("crawlstart", 1)] + metrics_rows
         self._write_metrics(0, metrics_rows)
-        self.wh.commit(0, {"next_seq": n_new, "watermark": 0, "queued": n_new,
-                           "config": cfg.to_json(), "seed_hosts": self.seed_hosts,
-                           "compacts": {}})
+        state = {"next_seq": n_new, "watermark": 0, "queued": n_new,
+                 "config": cfg.to_json(), "seed_hosts": self.seed_hosts,
+                 "compacts": {}}
+        if cfg.dedupe_mode == "tiered":
+            state["sidecars"] = self._sidecar_manifest()
+        self.wh.commit(0, state)
         return n_new, 0
 
     def _verify_payload_rounds(self, rounds: list[int]) -> None:
@@ -766,13 +769,92 @@ class CrawlEngine:
             missing.append(r)
         self._verify_payload_rounds(missing)
 
+    def _sidecar_manifest(self) -> dict:
+        """Snapshot record making the sidecars part of the committed state:
+        after this manifest lands, every bucket's bloom/cuckoo files reflect
+        exactly the committed seen table at these params (register_new
+        updates sidecars BEFORE the commit), so a resume that finds the
+        record intact can skip the rebuild entirely."""
+        return {"epoch": True, "capacity": int(self.cfg.seen_capacity),
+                "bits_per_key": int(self.cfg.bloom_bits_per_key),
+                "n_buckets": int(self.cfg.n_buckets)}
+
+    def _sidecar_rebuild_scope(self, m: dict, last: int,
+                               orphan_buckets: set[int]) -> list[int] | None:
+        """Which sidecar buckets a resume must rebuild. ``None`` = all (the
+        manifest does not vouch for them: pre-epoch snapshot, or the dedupe
+        params changed between runs). Otherwise the union of
+
+        * buckets touched by ORPHAN seen deltas (a crashed round's
+          register_new set stale-ahead bits / may have auto-resized a cuckoo
+          table — false-positive-only, but rebuilt for FPR hygiene), and
+        * buckets present in the committed seen layout whose sidecar files
+          are missing (poisoned/partially-copied warehouse — skipping those
+          would cause FALSE NEGATIVES).
+
+        An empty list = zero rebuild jobs: the common clean-shutdown resume
+        never scans the seen table at all (round-4 verdict scale risk #2 —
+        the unconditional rebuild was O(corpus) per resume). Residual FPR
+        caveat, documented: a crash in the sliver between a bucket's sidecar
+        save and its parquet rename leaves stale-ahead bits with no orphan
+        bucket dir to flag them — tier-3's exact probe keeps membership
+        exact, so this costs only false-positive rate, never correctness."""
+        import re as _re
+
+        sc = m.get("sidecars")
+        if (not sc or sc.get("capacity") != int(self.cfg.seen_capacity)
+                or sc.get("bits_per_key") != int(self.cfg.bloom_bits_per_key)
+                or sc.get("n_buckets") != int(self.cfg.n_buckets)):
+            return None
+        need = set()
+        for p in self.wh.data_paths("seen", last):
+            if not os.path.isdir(p):
+                continue
+            for name in os.listdir(p):
+                bm = _re.fullmatch(r"bucket=(\d+)", name)
+                if bm:
+                    need.add(int(bm.group(1)))
+        missing = {
+            b for b in need
+            if not (os.path.exists(self.wh.sidecar_path(b, "bloom"))
+                    and os.path.exists(self.wh.sidecar_path(b, "cuckoo")))}
+        return sorted(orphan_buckets | missing)
+
+    def _orphan_seen_buckets(self, committed_round: int) -> set[int]:
+        """Bucket ids under uncommitted ``seen`` round dirs — scanned BEFORE
+        drop_orphans deletes them, so the sidecar rebuild can be scoped to
+        exactly the buckets a crashed round touched."""
+        import re as _re
+
+        out: set[int] = set()
+        base = self.wh.table_dir("seen")
+        if not os.path.isdir(base):
+            return out
+        for name in os.listdir(base):
+            rm = _re.fullmatch(r"round=(\d+)", name)
+            if rm and int(rm.group(1)) > committed_round:
+                try:
+                    entries = os.listdir(os.path.join(base, name))
+                except OSError:
+                    continue
+                for b in entries:
+                    bm = _re.fullmatch(r"bucket=(\d+)", b)
+                    if bm:
+                        out.add(int(bm.group(1)))
+        return out
+
     def resume_state(self) -> tuple[int, int, int, int]:
         """S5 — defrost: last committed manifest wins; orphan round dirs from
-        a crashed round are dropped; sidecars rebuilt from committed deltas."""
+        a crashed round are dropped; sidecars rebuilt from committed deltas
+        ONLY where the snapshot record does not vouch for them (scoped to
+        crash-touched/missing buckets; zero jobs on a clean resume —
+        reference analog: defrost rebuilds ``_scanIndex`` in one linear pass
+        over what it loads, never more, ``queue.js:≈L375–425``)."""
         last = self.wh.latest_round()
         if last is None:
             raise ValueError("nothing to resume: no committed manifest")
         m = self.wh.load_manifest(last)
+        orphan_buckets = self._orphan_seen_buckets(last)
         self.wh.drop_orphans(last)
         self.seed_hosts = m["seed_hosts"]
         self.compacts = m.get("compacts", {})
@@ -781,12 +863,15 @@ class CrawlEngine:
         if self.cfg.robots_mode == "lazy":
             self._reload_robots(last)  # upserted rules are part of the snapshot
         if self.cfg.dedupe_mode == "tiered":
-            dd.rebuild_sidecars(self.spark, self.wh.root,
-                                read_warehouse_table(self.spark, self.wh,
-                                                     "seen", last, SEEN_SCHEMA),
-                                self.cfg.n_buckets,
-                                getattr(self.cfg, "seen_capacity", 2_000_000),
-                                self.cfg.bloom_bits_per_key)
+            scope = self._sidecar_rebuild_scope(m, last, orphan_buckets)
+            if scope is None or scope:
+                dd.rebuild_sidecars(
+                    self.spark, self.wh.root,
+                    read_warehouse_table(self.spark, self.wh,
+                                         "seen", last, SEEN_SCHEMA),
+                    self.cfg.n_buckets,
+                    getattr(self.cfg, "seen_capacity", 2_000_000),
+                    self.cfg.bloom_bits_per_key, buckets=scope)
         if self.images is not None:
             self._repair_payload(last)
         self._payload_done = last
@@ -1153,6 +1238,8 @@ class CrawlEngine:
                         "queued": int(n_left), "batch": int(n_batch),
                         "config": cfg.to_json(), "seed_hosts": self.seed_hosts,
                         "compacts": self.compacts}
+            if cfg.dedupe_mode == "tiered":
+                manifest["sidecars"] = self._sidecar_manifest()
             if self._cookies_on:
                 # the jar is crawl state — snapshot it with the round so
                 # defrost resumes with identical outbound headers (D8 + S4/S5)

@@ -37,7 +37,9 @@ def _tables(spark, result):
     return sorted(log), seen
 
 
-def test_kill_and_resume_identical(spark, corpus, tmp_path):
+def test_kill_and_resume_identical(spark, corpus, tmp_path, monkeypatch):
+    from simplecrawler_spark.operators import dedupe as dd
+
     web = spark.read.parquet(f"{corpus}/web")
     robots = spark.read.parquet(f"{corpus}/robots")
 
@@ -48,22 +50,60 @@ def test_kill_and_resume_identical(spark, corpus, tmp_path):
     # interrupted: stop after 3 rounds ("kill"), then resume to completion
     eng1 = CrawlEngine(spark, _cfg(str(tmp_path / "wh_part"), max_rounds=3), web, robots=robots)
     eng1.run()
-    # simulate a crash mid-round-4: orphan uncommitted delta dirs
+    # simulate a crash mid-round-4: orphan uncommitted delta dirs (the seen
+    # orphan carries a bucket subdir — a crashed register_new's footprint)
     wh_root = str(tmp_path / "wh_part")
-    for t in ("seen", "fetched"):
-        os.makedirs(os.path.join(wh_root, t, "round=99"), exist_ok=True)
-        with open(os.path.join(wh_root, t, "round=99", "part-junk.parquet"), "w") as f:
+    for t, sub in (("seen", "bucket=2"), ("fetched", "")):
+        d = os.path.join(wh_root, t, "round=99", sub)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-junk.parquet"), "w") as f:
             f.write("garbage")
-    # poison a sidecar to prove resume rebuilds them from committed data
+    # poison a sidecar to prove resume rebuilds it from committed data
     scdir = os.path.join(wh_root, "sidecars")
     assert os.path.isdir(scdir) and os.listdir(scdir)
-    shutil.rmtree(os.path.join(scdir, os.listdir(scdir)[0]))
+    poisoned = sorted(os.listdir(scdir))[0]
+    shutil.rmtree(os.path.join(scdir, poisoned))
+    poisoned_b = int(poisoned.split("=")[1])
 
+    # spy: the rebuild must be SCOPED to exactly the crash-touched orphan
+    # bucket plus the missing one — never a full O(corpus) rescan
+    calls = []
+    orig = dd.rebuild_sidecars
+
+    def spy(*a, **kw):
+        calls.append(kw.get("buckets"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dd, "rebuild_sidecars", spy)
     eng2 = CrawlEngine(spark, _cfg(wh_root), web, robots=robots)
     resumed = eng2.run(resume=True)
     assert not os.path.isdir(os.path.join(wh_root, "seen", "round=99"))
+    assert calls == [sorted({2, poisoned_b})]
     got = _tables(spark, resumed)
     assert got == want
+
+
+def test_clean_resume_runs_zero_rebuild_jobs(spark, corpus, tmp_path, monkeypatch):
+    """A resume from a clean shutdown (manifest committed, no orphans, all
+    sidecars present) must not rebuild ANY sidecar — at the design point the
+    unconditional rebuild was a full seen-table scan per resume. The
+    continuation must still be byte-identical to an uninterrupted crawl."""
+    from simplecrawler_spark.operators import dedupe as dd
+
+    web = spark.read.parquet(f"{corpus}/web")
+    full = CrawlEngine(spark, _cfg(str(tmp_path / "wh_f2")), web).run()
+    want = _tables(spark, full)
+
+    wh_root = str(tmp_path / "wh_clean")
+    CrawlEngine(spark, _cfg(wh_root, max_rounds=3), web).run()
+
+    def forbid(*a, **kw):
+        raise AssertionError("sidecar rebuild ran on a clean resume")
+
+    monkeypatch.setattr(dd, "rebuild_sidecars", forbid)
+    eng2 = CrawlEngine(spark, _cfg(wh_root), web)
+    resumed = eng2.run(resume=True)
+    assert _tables(spark, resumed) == want
 
 
 def test_lineage_chain_intact(spark, corpus, tmp_path):
