@@ -59,6 +59,11 @@ def main() -> None:
                          "session parallelism). --round-tasks 64 reproduces the "
                          "pre-§2e task shape (one Python task per corpus "
                          "bucket) for overhead-padding control pairs")
+    ap.add_argument("--referrer-in-delta", action="store_true",
+                    help="cfg.referrer_in_delta=True: the v1 inline-referrer "
+                         "delta layout (~45 B/row wider candidate exchanges "
+                         "and deltas) — the same-session control for the v2 "
+                         "narrow-row A/B")
     args = ap.parse_args()
 
     from simplecrawler_spark.session import get_spark
@@ -115,6 +120,7 @@ def main() -> None:
         seen_capacity=max(args.urls * 2, 200_000), n_buckets=32,
         shuffle_partitions=32, warehouse=wh, max_rounds=args.max_rounds,
         round_tasks=args.round_tasks,
+        referrer_in_delta=args.referrer_in_delta,
     )
     # JVM/Python cold-start warm-up, OUTSIDE the timed window: class loading,
     # interpreter JIT, Arrow init and the Python-worker pool spawn are
@@ -174,6 +180,8 @@ def main() -> None:
                       "rounds": res.rounds,
                       "protocol": ("v1-legacy" if args.legacy_protocol
                                    else "v2-warmup-manifest"),
+                      "layout": ("v1-inline-referrer" if args.referrer_in_delta
+                                 else "v2-derived-referrer"),
                       "phases": {k: round(v, 1) for k, v in sorted(eng.phase_secs.items())}}))
 
 

@@ -92,6 +92,9 @@ def main() -> None:
     ap.add_argument("--round-tasks", type=int, default=0,
                     help="cfg.round_tasks passthrough; 64 reproduces the "
                          "pre-§2e task shape for overhead-padding controls")
+    ap.add_argument("--referrer-in-delta", action="store_true",
+                    help="forwarded to run_crawl: v1 inline-referrer delta "
+                         "layout (same-session control for the v2 A/B)")
     args = ap.parse_args()
     extra = ["--seeds", str(args.seeds), "--img-frac", str(args.img_frac),
              "--img-sizes", args.img_sizes, "--max-rounds", str(args.max_rounds)]
@@ -101,6 +104,8 @@ def main() -> None:
         extra.append("--legacy-protocol")
     if args.round_tasks:
         extra += ["--round-tasks", str(args.round_tasks)]
+    if args.referrer_in_delta:
+        extra.append("--referrer-in-delta")
 
     # prepare corpus once (excluded from timing)
     env = dict(os.environ, PYTHONPATH=REPO)
@@ -169,6 +174,8 @@ def main() -> None:
         "protocol": ("v1-legacy" if args.legacy_protocol
                      else "v3-interleaved-pairs" if pair_effs is not None
                      else "v2-warmup-manifest"),
+        "layout": ("v1-inline-referrer" if args.referrer_in_delta
+                   else "v2-derived-referrer"),
     }
     if pair_effs is not None:
         summary["pair_efficiencies"] = [round(e, 3) for e in pair_effs]

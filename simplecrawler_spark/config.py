@@ -153,6 +153,12 @@ class CrawlConfig:
                                            # (~185 ms/task fixed Python-runner cost
                                            # measured on this box) while big rounds
                                            # keep fine granularity for load balance
+    # delta schema version (plans/crawl.QUEUED_COLS note): False (v2,
+    # default) derives `referrer` from parent_seq at read time — the
+    # candidate exchanges and seen/fetched deltas are ~45 B/row narrower;
+    # True (v1) stores it inline. A resumed warehouse must keep the layout
+    # it was started with (resume_state validates).
+    referrer_in_delta: bool = False
     dedupe_mode: str = "tiered"            # "exact" | "tiered" (bloom → cuckoo → exact)
     bloom_bits_per_key: int = 10
     seen_capacity: int = 2_000_000         # sizes the per-bucket bloom/cuckoo sidecars

@@ -44,13 +44,27 @@ from simplecrawler_spark.operators.scheduler import assign_seq, select_batch
 from simplecrawler_spark.storage.compaction import plan_and_compact, read_warehouse_table
 from simplecrawler_spark.storage.snapshots import Warehouse
 
+# Delta schema v2 (default): `referrer` is NOT stored — it is derivable as
+# the parent row's url_norm (rows carry parent_seq), so the candidate
+# stream's wide exchanges and the seen/fetched deltas drop ~45 B/row of the
+# ~150 B row the 1v4 scaling cell is bandwidth-bound on; CrawlResult.
+# fetched_log restores it with ONE read-time self-join paid by consumers
+# instead of every round, and the http seam restores the Referer header
+# from the fetched log per batch (seq-stats-pruned parquet read). Admission
+# gates and condition specs still see referrer on the candidate row — it is
+# dropped right before the dedupe exchange, like `host`. Set
+# ``cfg.referrer_in_delta=True`` for the v1 inline layout (a resumed
+# warehouse must keep the layout it was started with).
 QUEUED_COLS = ["seq", "url_norm", "url_hash", "host", "depth", "referrer", "parent_seq"]
+QUEUED_COLS_V2 = [c for c in QUEUED_COLS if c != "referrer"]
 
 # explicit reader schemas: schema inference costs one small Spark job per
 # spark.read.parquet call — a few of those per round is pure serial latency
 # (the efficiency gate's enemy); the engine knows its own table shapes
 SEEN_SCHEMA = ("seq long, url_norm string, url_hash long, host string, depth int, "
                "referrer string, parent_seq long, round_queued int, round int, bucket int")
+SEEN_SCHEMA_V2 = ("seq long, url_norm string, url_hash long, host string, depth int, "
+                  "parent_seq long, round_queued int, round int, bucket int")
 FETCHED_SEQ_SCHEMA = "seq long, round int"
 # column-pruned fetched read for the conditional-GET cache view (S6/J3)
 FETCHED_CACHE_SCHEMA = ("url_norm string, url_hash long, image_id string, "
@@ -78,8 +92,16 @@ class CrawlResult:
         The payload table is written by its own per-round job (reading the
         just-written fetched delta) — the read-time join on ``seq`` (unique)
         keeps the consumer-facing schema identical to when the columns were
-        inlined, while the write path stays one pass."""
+        inlined, while the write path stays one pass. Delta schema v2 stores
+        no ``referrer`` column (QUEUED_COLS note): it is restored here as the
+        parent row's url_norm via ONE self-join on parent_seq — paid once by
+        the consumer instead of ~45 B/row in every round's exchanges; seeds
+        (parent_seq = -1) keep a null referrer exactly as before."""
         f = read_warehouse_table(spark, self.warehouse, "fetched", self.rounds)
+        if f is not None and "referrer" not in f.columns:
+            parents = f.select(F.col("seq").alias("parent_seq"),
+                               F.col("url_norm").alias("referrer"))
+            f = f.join(parents, "parent_seq", "left")
         p = read_warehouse_table(spark, self.warehouse, "payload", self.rounds)
         if p is None:
             return (f.withColumn("phash", F.lit(None).cast("long"))
@@ -195,6 +217,11 @@ class CrawlEngine:
         self._cookies_on = bool(cfg.accept_cookies) and (
             cfg.fetch_mode == "http"
             or (web is not None and "set_cookie" in web.columns))
+        # delta schema version (see QUEUED_COLS/QUEUED_COLS_V2 note above)
+        if getattr(cfg, "referrer_in_delta", False):
+            self._queued_cols, self._seen_schema = QUEUED_COLS, SEEN_SCHEMA
+        else:
+            self._queued_cols, self._seen_schema = QUEUED_COLS_V2, SEEN_SCHEMA_V2
 
     def _tick(self, phase: str, t0: float) -> float:
         import time as _t
@@ -325,8 +352,8 @@ class CrawlEngine:
 
     def _remaining(self, upto_round: int, watermark: int) -> DataFrame:
         queued = read_warehouse_table(
-            self.spark, self.wh, "seen", upto_round, SEEN_SCHEMA
-        ).where(F.col("seq") >= watermark).select(*QUEUED_COLS, "round_queued")
+            self.spark, self.wh, "seen", upto_round, self._seen_schema
+        ).where(F.col("seq") >= watermark).select(*self._queued_cols, "round_queued")
         if self.cfg.host_budget <= 0 and not self.cfg.honor_crawl_delay:
             # FIFO: fetched seqs are exactly the prefix [0, watermark) —
             # D5's _oldestUnfetchedIndex as a pushed-down range predicate;
@@ -401,7 +428,10 @@ class CrawlEngine:
         admitted = gated.where(F.col("reject").isNull()).drop("reject")
         # slim the candidate rows for the wide exchanges (docstring above);
         # the admission gates and condition specs above saw the full row
+        # (incl. referrer — only the v1 inline layout carries it further)
         admitted = admitted.drop("host")
+        if "referrer" not in self._queued_cols:
+            admitted = admitted.drop("referrer")
 
         # in-batch first-wins dedupe (U3/J1): min_by over (parent_seq,
         # link_idx) — map-side combinable partial agg, so heavily duplicated
@@ -450,7 +480,7 @@ class CrawlEngine:
             # recomputed from url_norm — bit-identical to the pre-drop value
             restored = numbered.withColumn(
                 "host", F.regexp_extract("url_norm", _HOST_RE, 1))
-            queued = restored.withColumn("round_queued", F.lit(rnd)).select(*QUEUED_COLS, "round_queued")
+            queued = restored.withColumn("round_queued", F.lit(rnd)).select(*self._queued_cols, "round_queued")
             if cfg.dedupe_mode == "tiered":
                 n_resized = dd.register_new(
                     queued, self.wh.root, self.wh.round_dir("seen", rnd),
@@ -854,6 +884,18 @@ class CrawlEngine:
         if last is None:
             raise ValueError("nothing to resume: no committed manifest")
         m = self.wh.load_manifest(last)
+        # the delta layout is a property of the WAREHOUSE, fixed at start:
+        # refuse a resume under the other layout instead of reading mixed
+        # per-round schemas (manifests without the key predate v2 = inline)
+        import json as _json
+
+        mcfg = _json.loads(m["config"]) if m.get("config") else {}
+        m_v1 = bool(mcfg.get("referrer_in_delta", True))
+        if m_v1 != bool(getattr(self.cfg, "referrer_in_delta", False)):
+            raise ValueError(
+                f"warehouse delta layout is "
+                f"{'v1 (referrer inline)' if m_v1 else 'v2 (referrer derived)'}"
+                f" — set cfg.referrer_in_delta={m_v1} to resume it")
         orphan_buckets = self._orphan_seen_buckets(last)
         self.wh.drop_orphans(last)
         self.seed_hosts = m["seed_hosts"]
@@ -868,7 +910,7 @@ class CrawlEngine:
                 dd.rebuild_sidecars(
                     self.spark, self.wh.root,
                     read_warehouse_table(self.spark, self.wh,
-                                         "seen", last, SEEN_SCHEMA),
+                                         "seen", last, self._seen_schema),
                     self.cfg.n_buckets,
                     getattr(self.cfg, "seen_capacity", 2_000_000),
                     self.cfg.bloom_bits_per_key, buckets=scope)
@@ -933,7 +975,7 @@ class CrawlEngine:
                 pacer.round_started()
             if cfg.dedupe_mode == "exact":
                 seen_df_exact = read_warehouse_table(
-                    self.spark, self.wh, "seen", rnd - 1, SEEN_SCHEMA)
+                    self.spark, self.wh, "seen", rnd - 1, self._seen_schema)
             remaining = self._remaining(rnd - 1, watermark)
             host_caps = self._host_caps()
             use_window = cfg.host_budget > 0 or host_caps is not None
@@ -1005,8 +1047,27 @@ class CrawlEngine:
                 # output contract as fetch_batch, so everything downstream
                 # (classify, discovery, gates, dedupe, writer) is
                 # mode-agnostic
+                b_req = batch
+                if "referrer" not in batch.columns:
+                    # delta schema v2: the Referer header is the parent's
+                    # url_norm, restored from the fetched log (seq unique;
+                    # parquet row-group stats prune the read by the batch's
+                    # parent_seq range). http rounds are network-bound, so
+                    # this per-round join is paid where it's cheapest — the
+                    # table-mode hot path never carries or restores it.
+                    flog = read_warehouse_table(
+                        self.spark, self.wh, "fetched", rnd - 1,
+                        "seq long, url_norm string, round int")
+                    if flog is None:
+                        b_req = batch.withColumn(
+                            "referrer", F.lit(None).cast("string"))
+                    else:
+                        parents = flog.select(
+                            F.col("seq").alias("parent_seq"),
+                            F.col("url_norm").alias("referrer"))
+                        b_req = batch.join(parents, "parent_seq", "left")
                 fetch_in = build_request_headers(
-                    batch, cfg,
+                    b_req, cfg,
                     cookie_rows=(self.jar.to_rows()
                                  if self._cookies_on else None),
                     cache=cache_rel)
@@ -1083,7 +1144,7 @@ class CrawlEngine:
             # ~6.5 s/round of serial floor in the round-3 profile
             fetched = outcomes.withColumn("round_fetched", F.lit(rnd))
             fetched_sel = fetched.select(
-                *QUEUED_COLS, "round_queued", "status", "event", "status_code",
+                *self._queued_cols, "round_queued", "status", "event", "status_code",
                 "failure", "content_type", "body_size", "content_length",
                 "sent_incorrect_size", "image_id", "caption",
                 "request_latency_ms", "download_time_ms", "request_time_ms",
@@ -1231,7 +1292,7 @@ class CrawlEngine:
                 # is the transaction, exactly like round deltas
                 self.compacts = plan_and_compact(
                     self.spark, self.wh, rnd, self.compacts,
-                    cfg.compact_max_levels, SEEN_SCHEMA)
+                    cfg.compact_max_levels, self._seen_schema)
                 compacted = True
                 t = self._tick("compaction", t)
             manifest = {"next_seq": next_seq, "watermark": watermark,
