@@ -45,11 +45,14 @@ df = (spark.range({rows})
           F.lit("http://host"), (F.col("id") % F.lit(97)).cast("string"),
           F.lit(".example/path/segment/page-"), F.col("id").cast("string"),
           F.lit(".html")))
-      .withColumn("ref", F.concat(
-          F.lit("http://host"), (F.col("id") % F.lit(89)).cast("string"),
-          F.lit(".example/path/other/page-"),
-          F.floor(F.col("id") / F.lit(3)).cast("string"), F.lit(".html")))
       .withColumn("depth", (F.col("id") % 12).cast("int")))
+if {with_ref}:
+    df = df.withColumn("ref", F.concat(
+        F.lit("http://host"), (F.col("id") % F.lit(89)).cast("string"),
+        F.lit(".example/path/other/page-"),
+        F.floor(F.col("id") / F.lit(3)).cast("string"), F.lit(".html")))
+else:
+    df = df.withColumn("ref", F.lit(None).cast("string"))
 t0 = time.time()
 n = (df.repartition(32, "k")
        .groupBy("k").agg(F.count(F.lit(1)).alias("n"),
@@ -60,8 +63,10 @@ print("SECONDS", time.time() - t0)
 """
 
 
-def run_level(cores: int, rows: int, runs: int) -> list[float]:
-    code = CHILD.format(repo=REPO, cores=cores, rows=rows)
+def run_level(cores: int, rows: int, runs: int,
+              with_ref: bool = True) -> list[float]:
+    code = CHILD.format(repo=REPO, cores=cores, rows=rows,
+                        with_ref=with_ref)
     cmd = [sys.executable, "-c", code]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -83,18 +88,25 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3,
                     help="runs per level; first discarded as warm-up when >1")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--no-ref", action="store_true",
+                    help="drop the second url-like string (~105 B rows) — "
+                         "the delta-schema-v2 candidate row shape, for the "
+                         "new row width's same-session ceiling")
     args = ap.parse_args()
     lo, hi = (int(c) for c in args.cores.split(","))
     res = {}
     for cores in (lo, hi):
-        secs = run_level(cores, args.rows, args.runs)
+        secs = run_level(cores, args.rows, args.runs,
+                         with_ref=not args.no_ref)
         res[cores] = secs
         print(json.dumps({"cores": cores, "seconds": secs}))
     timed = {c: (s[1:] if len(s) > 1 else s) for c, s in res.items()}
     m_lo = statistics.median(timed[lo])
     m_hi = statistics.median(timed[hi])
     summary = {"pair": f"{lo}v{hi}", "rows": args.rows,
-               "row_shape": "~150B: 2 url-like strings + 3 numerics",
+               "row_shape": ("~105B: 1 url-like string + 3 numerics"
+                             if args.no_ref else
+                             "~150B: 2 url-like strings + 3 numerics"),
                "seconds": {str(c): res[c] for c in res},
                "speedup": round(m_lo / m_hi, 2),
                "wide_plane_ceiling_efficiency":
