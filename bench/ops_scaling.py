@@ -110,7 +110,13 @@ def main() -> None:
                          "perturbations) and run the content ops on it; "
                          "0 = plain sf-dir run")
     ap.add_argument("--out", default=None, help="result JSON path")
+    ap.add_argument("--cores", default="2,8",
+                    help="two pinned levels; the 10x cell should use 8,32 — "
+                         "a 2-core 10x suite is ~40 min by construction "
+                         "(ops are ~linear in docs), useless as a per-round "
+                         "regression bench")
     args = ap.parse_args()
+    lo_c, hi_c = (int(c) for c in args.cores.split(","))
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = NAMES
@@ -131,7 +137,7 @@ def main() -> None:
         sf, names = big, NAMES_BIG
     script = CHILD.format(repo=REPO, sf=sf, names=names)
     out = {}
-    for cores in (2, 8):
+    for cores in (lo_c, hi_c):
         cmd = [sys.executable, "-c", script, str(cores)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -140,12 +146,13 @@ def main() -> None:
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         out[cores] = json.loads(line)
         print(line, flush=True)
-    eff = (out[2]["total_sec"] / out[8]["total_sec"]) / 4.0
+    ratio = out[lo_c]["total_sec"] / out[hi_c]["total_sec"]
     summary = {"suite": "ops", "sf_dir": sf, "factor": args.factor,
-               "t_low": out[2]["total_sec"],
-               "t_high": out[8]["total_sec"],
-               "speedup": round(out[2]["total_sec"] / out[8]["total_sec"], 2),
-               "efficiency_vs_4x": round(eff, 3)}
+               "cores": [lo_c, hi_c],
+               "t_low": out[lo_c]["total_sec"],
+               "t_high": out[hi_c]["total_sec"],
+               "speedup": round(ratio, 2),
+               "efficiency_vs_factor": round(ratio / (hi_c / lo_c), 3)}
     print(json.dumps(summary))
     dst = args.out or os.path.join(REPO, "bench_out", "ops_scaling.json")
     os.makedirs(os.path.dirname(dst), exist_ok=True)
