@@ -136,23 +136,34 @@ def main() -> None:
             open(os.path.join(big, "_DONE"), "w").close()
         sf, names = big, NAMES_BIG
     script = CHILD.format(repo=REPO, sf=sf, names=names)
-    out = {}
+    out, failed = {}, {}
     for cores in (lo_c, hi_c):
         cmd = [sys.executable, "-c", script, str(cores)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         r = subprocess.run(cmd, capture_output=True, text=True,
-                           env=dict(os.environ, PYTHONPATH=REPO), check=True)
+                           env=dict(os.environ, PYTHONPATH=REPO))
+        if r.returncode != 0:
+            # a crashed level must not erase the completed one(s) —
+            # record the stderr tail so the failure is diagnosable
+            tail = "\n".join(r.stderr.splitlines()[-15:])
+            print(f"LEVEL {cores} FAILED (rc={r.returncode}):\n{tail}",
+                  file=sys.stderr, flush=True)
+            failed[cores] = {"returncode": r.returncode, "stderr_tail": tail}
+            continue
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         out[cores] = json.loads(line)
         print(line, flush=True)
-    ratio = out[lo_c]["total_sec"] / out[hi_c]["total_sec"]
     summary = {"suite": "ops", "sf_dir": sf, "factor": args.factor,
-               "cores": [lo_c, hi_c],
-               "t_low": out[lo_c]["total_sec"],
-               "t_high": out[hi_c]["total_sec"],
-               "speedup": round(ratio, 2),
-               "efficiency_vs_factor": round(ratio / (hi_c / lo_c), 3)}
+               "cores": [lo_c, hi_c]}
+    if lo_c in out and hi_c in out:
+        ratio = out[lo_c]["total_sec"] / out[hi_c]["total_sec"]
+        summary.update(
+            t_low=out[lo_c]["total_sec"], t_high=out[hi_c]["total_sec"],
+            speedup=round(ratio, 2),
+            efficiency_vs_factor=round(ratio / (hi_c / lo_c), 3))
+    if failed:
+        summary["failed_levels"] = failed
     print(json.dumps(summary))
     dst = args.out or os.path.join(REPO, "bench_out", "ops_scaling.json")
     os.makedirs(os.path.dirname(dst), exist_ok=True)
