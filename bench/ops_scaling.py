@@ -166,7 +166,9 @@ def main() -> None:
         summary["failed_levels"] = failed
     print(json.dumps(summary))
     dst = args.out or os.path.join(REPO, "bench_out", "ops_scaling.json")
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    dst_dir = os.path.dirname(dst)
+    if dst_dir:  # --out with a bare filename has no dir to create
+        os.makedirs(dst_dir, exist_ok=True)
     with open(dst, "w") as f:
         json.dump({"summary": summary, "detail": out}, f, indent=2)
 

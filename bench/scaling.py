@@ -107,21 +107,23 @@ def main() -> None:
     if args.referrer_in_delta:
         extra.append("--referrer-in-delta")
 
+    levels = [int(c) for c in args.cores.split(",")]
+    if args.interleave and len(levels) != 2:
+        # silently running only min/max would label a 1v4 cell as if all
+        # requested levels ran — refuse instead (ADVICE r4); checked BEFORE
+        # the minutes-long corpus preparation, not after
+        ap.error(f"--interleave compares exactly two core levels, got "
+                 f"--cores {args.cores!r}")
+
     # prepare corpus once (excluded from timing)
     env = dict(os.environ, PYTHONPATH=REPO)
     subprocess.run([sys.executable, os.path.join(REPO, "bench", "run_crawl.py"),
                     "--cores", "8", "--urls", str(args.urls), "--prepare"] + extra,
                    env=env, check=True, capture_output=True, text=True)
 
-    levels = [int(c) for c in args.cores.split(",")]
     results = {}
     pair_effs = None
     if args.interleave:
-        if len(levels) != 2:
-            # silently running only min/max would label a 1v4 cell as if all
-            # requested levels ran — refuse instead (ADVICE r4)
-            ap.error(f"--interleave compares exactly two core levels, got "
-                     f"--cores {args.cores!r}")
         lo_l, hi_l = min(levels), max(levels)
         # one discarded warm-up pair, then args.runs timed adjacent pairs
         pairs = []

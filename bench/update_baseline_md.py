@@ -29,7 +29,9 @@ def main(bench_json: str) -> None:
     # keep the cell's provenance citation pointing at the JSON the number
     # actually came from (the r4 verdict flagged a stale BENCH_r02 cite)
     src = os.path.basename(bench_json)
-    md2, cnt = re.subn(r"committed BENCH_r\d+\.json `crawl_urls_per_sec`",
+    # match whatever JSON name a previous run wrote, not only BENCH_r<N>
+    # (a one-off custom --out name must not wedge every later run)
+    md2, cnt = re.subn(r"committed \S+\.json `crawl_urls_per_sec`",
                        f"committed {src} `crawl_urls_per_sec`", md2)
     if cnt != 1:
         raise SystemExit(f"expected exactly one provenance cite, matched {cnt}")

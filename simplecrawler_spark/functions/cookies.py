@@ -143,12 +143,18 @@ def last_per_cookie_identity(df):
     """
     from pyspark.sql import functions as F
 
+    # whitespace trim matching Python str.strip() — F.trim strips ONLY
+    # spaces, so a tab after ';' would make '\tdomain' miss the attribute
+    # and compute a different identity than the jar parser
+    def wt(c):
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
     parts = F.split(F.col("sc"), ";")
     attrs = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
     kv = F.transform(attrs, lambda p: F.struct(
-        F.lower(F.trim(F.substring_index(p, "=", 1))).alias("k"),
+        F.lower(wt(F.substring_index(p, "=", 1))).alias("k"),
         F.when(F.instr(p, "=") > 0,
-               F.trim(F.substr(p, F.instr(p, "=") + F.lit(1))))
+               wt(F.substr(p, F.instr(p, "=") + F.lit(1))))
         .otherwise(F.lit("")).alias("v")))
 
     def last_attr(key):
@@ -158,7 +164,7 @@ def last_per_cookie_identity(df):
 
     dom = last_attr("domain")
     return (df.select(
-        F.trim(F.substring_index(F.try_element_at(parts, F.lit(1)), "=", 1))
+        wt(F.substring_index(F.try_element_at(parts, F.lit(1)), "=", 1))
         .alias("c_name"),
         F.when(dom.isNotNull(),
                F.lower(F.regexp_replace(dom, r"^\.+", "")))

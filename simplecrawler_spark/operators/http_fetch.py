@@ -134,8 +134,14 @@ def _build_opener(cfg: CrawlConfig) -> urllib.request.OpenerDirector:
         ctx.check_hostname = False
         ctx.verify_mode = ssl.CERT_NONE
     else:
-        ctx = ssl.create_default_context(
-            cafile=getattr(cfg, "ssl_ca_file", "") or None)
+        # system CAs PLUS the optional bundle — passing cafile= to
+        # create_default_context would load ONLY that file (CPython skips
+        # load_default_certs when cafile is given), silently failing every
+        # public-CA https fetch on clusters that add an internal CA
+        ctx = ssl.create_default_context()
+        ca_file = getattr(cfg, "ssl_ca_file", "") or None
+        if ca_file:
+            ctx.load_verify_locations(cafile=ca_file)
     hh = urllib.request.HTTPSHandler(context=ctx)
     return urllib.request.build_opener(ph, hh, _NoRedirect())
 
@@ -292,7 +298,7 @@ def http_fetch(batch: DataFrame, cfg: CrawlConfig,
     return batch.mapInPandas(run, schema=out_schema)
 
 
-def fetch_robots_bodies(hosts: pd.Series, protos: pd.Series | None,
+def fetch_robots_bodies(hosts: pd.Series, protos: pd.Series,
                         cfg: CrawlConfig) -> pd.Series:
     """S3 real mode: GET ``{proto}://{host}/robots.txt`` for a pandas Series
     of hosts (inside the lazy-robots ``mapInPandas`` pass — distributed, one
@@ -320,7 +326,5 @@ def fetch_robots_bodies(hosts: pd.Series, protos: pd.Series | None,
         except Exception:
             return None
 
-    if protos is None:
-        return hosts.map(lambda h: get(h, None))
     return pd.Series([get(h, p) for h, p in zip(hosts, protos)],
                      index=hosts.index, dtype=object)

@@ -1050,19 +1050,29 @@ class CrawlEngine:
                 b_req = batch
                 if "referrer" not in batch.columns:
                     # delta schema v2: the Referer header is the parent's
-                    # url_norm, restored from the fetched log (seq unique;
-                    # parquet row-group stats prune the read by the batch's
-                    # parent_seq range). http rounds are network-bound, so
-                    # this per-round join is paid where it's cheapest — the
-                    # table-mode hot path never carries or restores it.
+                    # url_norm, restored from the fetched log. The scan is
+                    # pruned by an EXPLICIT seq range predicate computed from
+                    # the batch (one tiny agg over ≤budget rows) — a join key
+                    # alone is not a pushable predicate, so without this the
+                    # restore would re-read the whole fetched table every
+                    # round, O(rounds × corpus) cumulative. With it, parquet
+                    # row-group stats skip everything outside the batch's
+                    # parent_seq span. http rounds are network-bound, so the
+                    # restore is paid where it's cheapest — the table-mode
+                    # hot path never carries or restores it.
+                    pb = batch.agg(F.min("parent_seq").alias("lo"),
+                                   F.max("parent_seq").alias("hi")).first()
                     flog = read_warehouse_table(
                         self.spark, self.wh, "fetched", rnd - 1,
                         "seq long, url_norm string, round int")
-                    if flog is None:
+                    if flog is None or pb["lo"] is None or pb["hi"] < 0:
                         b_req = batch.withColumn(
                             "referrer", F.lit(None).cast("string"))
                     else:
-                        parents = flog.select(
+                        parents = flog.where(
+                            F.col("seq").between(max(int(pb["lo"]), 0),
+                                                 int(pb["hi"]))
+                        ).select(
                             F.col("seq").alias("parent_seq"),
                             F.col("url_norm").alias("referrer"))
                         b_req = batch.join(parents, "parent_seq", "left")

@@ -116,6 +116,12 @@ def test_last_per_cookie_identity_matches_sequential_replay(spark):
         ("a.example", ["exp=1; Expires=Thu, 01 Jan 1970 00:00:00 GMT"]),
         ("a.example", ["sid=v4; Path=/other"]),                 # distinct path
         ("b.example", ["m=1; Max-Age=100; Secure"]),
+        # tab/newline whitespace: Python str.strip() strips ALL whitespace,
+        # F.trim only spaces — the JVM mirror must match (tab after ';'
+        # would otherwise read '\tdomain', miss the attr, and collapse this
+        # d.example cookie into the host-identity group)
+        ("a.example", ["tw=1;\tDomain=d.example ;\tPath=/t"]),
+        ("a.example", ["\ttw2\t=x;\tHttpOnly"]),
     ] + [("d.example", [f"sess={i}; Path=/"]) for i in range(50)]
     rows = [(seq, host, idx, sc)
             for seq, (host, hdrs) in enumerate(responses)
