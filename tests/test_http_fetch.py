@@ -369,6 +369,35 @@ def test_https_ssl_parity_matrix(spark, tls_cert):
         srv.shutdown()
 
 
+def test_ssl_ca_file_is_additive_to_system_cas(tls_cert):
+    """``ssl_ca_file`` must EXTEND the system trust store, not replace it:
+    ``ssl.create_default_context(cafile=X)`` loads ONLY X (CPython skips
+    ``load_default_certs`` when cafile is given), which would silently fail
+    every public-CA https fetch on a cluster that adds an internal CA.
+    Pin the additive behavior by inspecting the opener's SSL context."""
+    import urllib.request
+
+    from simplecrawler_spark.config import CrawlConfig
+    from simplecrawler_spark.operators.http_fetch import _build_opener
+
+    cert, _ = tls_cert
+
+    def ctx_of(cfg):
+        opener = _build_opener(cfg)
+        for h in opener.handlers:
+            if isinstance(h, urllib.request.HTTPSHandler):
+                return h._context
+        raise AssertionError("no HTTPSHandler on the opener")
+
+    base = ctx_of(CrawlConfig(fetch_mode="http"))
+    with_ca = ctx_of(CrawlConfig(fetch_mode="http", ssl_ca_file=cert))
+    n_base = with_ca.cert_store_stats()["x509_ca"] - 1  # minus our bundle
+    # the custom-bundle context still carries every system CA the default
+    # context has (additive), plus exactly our one extra CA cert
+    assert n_base == base.cert_store_stats()["x509_ca"]
+    assert with_ca.verify_mode == base.verify_mode  # still CERT_REQUIRED
+
+
 def _page(links):
     return ("<html><body>" + "".join(f'<a href="{x}">x</a>' for x in links)
             + "</body></html>").encode()
