@@ -439,3 +439,83 @@ def test_simhash_md5_single_evaluation_under_collapse(spark):
     pairs.collect()
     wall = time.time() - t0
     assert wall < 15.0, f"simhash_md5_pairs took {wall:.1f}s on 500 docs"
+
+
+def test_minhash_oph_pair_local_verify_replays_reference(spark):
+    """r6 optimization guardrail: the pair-LOCAL verify (per-doc gram-hash
+    arrays + array_intersect + size-ratio prune) must reproduce the banded-
+    LSH-then-exact-Jaccard semantics exactly. Replayed here in plain Python
+    (same md5-60-bit gram hash, same OPH banding, same ROUND(j,6) ≥ t cut)
+    on a template cluster with 2× length spread, so near-threshold pairs
+    exercise both the prune boundary and the intersection counting."""
+    import hashlib
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the hills ")
+    rows = []
+    for i in range(30):
+        rows.append((i, base + "tail " + "x y z w " * (i % 5)))
+    for i in range(30, 45):  # half-length docs: ratio-prune territory
+        rows.append((i, base[: len(base) // 2] + f" uniq{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in dedup.minhash_oph_pairs(docs, threshold=0.5).collect()}
+
+    def gram_hashes(s):
+        t = s.lower()
+        gs = {t[i:i + 5] for i in range(max(len(t) - 4, 1))}
+        return {int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in gs}
+
+    hs = {i: gram_hashes(s) for i, s in rows}
+    bkeys = {}
+    for i, h in hs.items():
+        comps = {}
+        for v in h:
+            b = v % 64
+            comps[b] = min(comps.get(b, v), v)
+        for band in range(16):
+            items = sorted((b, m) for b, m in comps.items() if b // 4 == band)
+            if items:
+                bkeys.setdefault(
+                    (band, ",".join(f"{b}:{m}" for b, m in items)), set()).add(i)
+    cand = set()
+    for members in bkeys.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cand.add((a, b))
+    expect = {}
+    for a, b in cand:
+        inter = len(hs[a] & hs[b])
+        j = round(inter / (len(hs[a]) + len(hs[b]) - inter), 6)
+        if j >= 0.5:
+            expect[(a, b)] = j
+    assert got == expect
+
+
+def test_simhash_md5_pairs_packed_hamming_matches_bits(spark):
+    """r6 optimization guardrail: the packed-long popcount Hamming must equal
+    the per-bit |a-b| sum over simhash_md5's bits arrays, and the pair set
+    must be exactly {segment-colliding pairs with Hamming ≤ 3}."""
+    rows = [(i, "shared template words here " + " ".join(
+        f"tok{j}" for j in range(i % 4))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: (r["bits"], r["segs"])
+           for r in dedup.simhash_md5(docs, mode="word").collect()}
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dedup.simhash_md5_pairs(docs, max_hamming=3,
+                                            mode="word").collect()}
+    expect = {}
+    ids = sorted(fps)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            bx, sx = fps[x]
+            by, sy = fps[y]
+            if not any(a == b for a, b in zip(sx, sy)):
+                continue  # no pigeonhole segment collision -> not a candidate
+            ham = sum(abs(a - b) for a, b in zip(bx, by))
+            if ham <= 3:
+                expect[(x, y)] = ham
+    assert got == expect
