@@ -461,9 +461,21 @@ def simhash_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ~``shingle``× fewer grams per doc, so it is also the cheaper scan."""
     docs = spread_small_input(docs)
     grams = _words_sql(text_col) if mode == "word" else _grams_sql(text_col, shingle)
-    gbits = ("transform(sequence(0, 63), j -> "
-             "2 * (shiftright(cast(conv(substring(hx, cast(j div 4 as int) + 1, 1), 16, 10) "
-             "as int), 3 - cast(j % 4 as int)) & 1) - 1)")
+    # per-gram ±1 vote vector: parse each hex digit ONCE (16 substring+conv
+    # string parses) and expand it to its 4 bit votes inside a lambda (`nb`
+    # is a real lambda binding, so the conv is never re-substituted per
+    # bit). The previous shape ran substring+conv per BIT — 64 string
+    # parses per gram, 4× this one's — and the vote scan is the linear
+    # full-corpus cost of both simhash pair operators (guide §1.2 step 2).
+    # Integer arithmetic, bit order identical (digit i covers bits
+    # 4(i-1)..4(i-1)+3, high bit first), so votes/bits/segs — and the
+    # DuckDB oracle replay — are unchanged.
+    gbits = ("flatten(transform("
+             "transform(sequence(1, 16), i -> "
+             "cast(conv(substring(hx, cast(i as int), 1), 16, 10) as int)), "
+             "nb -> array(2 * (shiftright(nb, 3) & 1) - 1, "
+             "2 * (shiftright(nb, 2) & 1) - 1, "
+             "2 * (shiftright(nb, 1) & 1) - 1, 2 * (nb & 1) - 1)))")
     votes = (f"aggregate(transform({grams}, gr -> md5(gr)), "
              f"array_repeat(0, 64), (acc, hx) -> zip_with(acc, {gbits}, (x, y) -> x + y))")
     # LET-BINDING, load-bearing for performance: bits and segs both derive
