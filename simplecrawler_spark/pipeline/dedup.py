@@ -395,13 +395,27 @@ def minhash_oph_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
     # within-document 60-bit md5-prefix collision, P(collision) ≈ 2.5e-14
     # per doc; verified result-hash-identical against the join shape at
     # sf0.001/0.01/0.1/1.0.)
-    sets = _persist(hashed.groupBy("_id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count(F.lit(1)).alias("ng")))
     est = _uncompressed_input_bytes(docs)
     # per-doc array bytes ≈ 8 B per gram ≈ 8 × text chars (distinct 5-grams
     # of an L-char doc number ≤ L-4); ×2 slack for array/row overhead
     bcast = est is not None and est * 16 <= _VERIFY_BROADCAST_CAP
+    # vectorized verify (guide §4.2): when the per-doc hash-set relation fits
+    # the broadcast cap anyway, numpy merge-intersects beat per-pair JVM
+    # array_intersect (which rebuilds a hash set of BOTH arrays for every one
+    # of a doc's ~hundreds of candidate pairs) — measured ~9 µs/pair vs
+    # ~44 µs/pair in-stage on the 20.3M-pair 10× cell. Its fixed cost (one
+    # driver collect + a python broadcast + the worker pool) only amortizes
+    # when the corpus — and with it the candidate volume — is large, so tiny
+    # inputs keep the sub-second JVM join (floor env-tunable; both paths are
+    # result-identical, the gate is purely a cost model).
+    arrow_floor = int(os.environ.get(
+        "SPARK_GRAFT_VERIFY_ARROW_MIN_BYTES", str(4 << 20)))
+    if (bcast and est >= arrow_floor
+            and os.environ.get("SPARK_GRAFT_VERIFY_ARROW", "1") != "0"):
+        return _verify_pairs_arrow(cand, hashed, float(threshold))
+    sets = _persist(hashed.groupBy("_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).alias("ng")))
     sa = sets.select(F.col("_id").alias("a"), F.col("hs").alias("ha"),
                      F.col("ng").alias("na"))
     sb = sets.select(F.col("_id").alias("b"), F.col("hs").alias("hb"),
@@ -423,6 +437,101 @@ def minhash_oph_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
     return (cand.join(sa, "a").join(sb, "b")
             .where(ratio_ok)
             .select("a", "b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def _verify_pairs_arrow(cand: DataFrame, hashed: DataFrame,
+                        threshold: float) -> DataFrame:
+    """Exact distinct-gram Jaccard verify for candidate pairs, vectorized
+    (guide §4.2 "hand whole batches to native libraries"): the per-doc
+    gram-hash sets are collected ONCE into flat numpy arrays (ids / counts /
+    offsets / values — the same ≤ cap-gated volume the JVM broadcast held),
+    shipped to the Python workers as one broadcast, and each Arrow batch of
+    (a, b) pairs is pruned + merge-intersected in numpy. Only the small
+    (a, b, |A∩B|, |A|, |B|) rows return; the jaccard division and ROUND run
+    in the SAME JVM expression as the join path, so rounding semantics are
+    bit-identical (Python's round is half-even, Spark's HALF_UP — never mix).
+
+    Equivalence with the JVM ``size(array_intersect(ha, hb))`` path:
+    the flat values are per-doc sorted + DEDUPLICATED (array_intersect
+    treats the per-doc multiset as a set), counts stay the raw distinct-gram
+    counts, the size-ratio prune uses the identical ``min/max ≥ t − 1e-6``
+    double comparison, and ``np.intersect1d(assume_unique=True)`` over the
+    deduplicated sorted slices counts exactly |A∩B|. Any doc id reaching a
+    candidate pair but absent from the sets relation raises (loud, never a
+    silent wrong count)."""
+    spark = cand.sparkSession
+    agg = hashed.groupBy("_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).alias("ng"))
+    tbl = agg.toArrow()
+    ids = tbl.column("_id").to_numpy()
+    ngs = tbl.column("ng").to_numpy()
+    hs = tbl.column("hs").combine_chunks()
+    lens = np.asarray(hs.value_lengths(), dtype=np.int64)
+    flat = hs.flatten().to_numpy()
+    if ids.size == 0:
+        return spark.createDataFrame([], "a long, b long, jaccard double")
+    # sort docs by id so workers can searchsorted; gather flat in id order
+    order = np.argsort(ids, kind="stable")
+    ids_s, ngs_s, lens_s = ids[order], ngs[order], lens[order]
+    offs_src = np.zeros(ids.size + 1, dtype=np.int64)
+    offs_src[1:] = np.cumsum(lens)
+    offs_s = np.zeros(ids.size + 1, dtype=np.int64)
+    offs_s[1:] = np.cumsum(lens_s)
+    gather = (np.arange(offs_s[-1], dtype=np.int64)
+              - np.repeat(offs_s[:-1], lens_s)
+              + np.repeat(offs_src[:-1][order], lens_s))
+    flat_s = flat[gather]
+    # per-slice dedupe (sorted within each doc; every doc has ≥ 1 gram):
+    # array_intersect set semantics need unique elements per doc
+    dup = np.zeros(flat_s.size, dtype=bool)
+    dup[1:] = flat_s[1:] == flat_s[:-1]
+    dup[offs_s[:-1]] = False
+    keep = ~dup
+    flat_d = flat_s[keep]
+    lens_d = np.add.reduceat(keep.astype(np.int64), offs_s[:-1])
+    offs_d = np.zeros(ids.size + 1, dtype=np.int64)
+    offs_d[1:] = np.cumsum(lens_d)
+    bc = spark.sparkContext.broadcast((ids_s, ngs_s, offs_d, flat_d))
+    t_eff = float(threshold) - 1e-6
+
+    def verify(batches):
+        import pyarrow as pa
+
+        b_ids, b_ngs, b_offs, b_flat = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            a = b.column(0).to_numpy()
+            bb = b.column(1).to_numpy()
+            ia = np.minimum(np.searchsorted(b_ids, a), b_ids.size - 1)
+            ib = np.minimum(np.searchsorted(b_ids, bb), b_ids.size - 1)
+            if not ((b_ids[ia] == a).all() and (b_ids[ib] == bb).all()):
+                raise RuntimeError(
+                    "minhash verify: candidate doc id missing from the "
+                    "gram-set relation")
+            na = b_ngs[ia]
+            nb = b_ngs[ib]
+            # size-ratio prune — same double comparison as the join path
+            ok = np.minimum(na, nb) / np.maximum(na, nb) >= t_eff
+            ka, kb = ia[ok], ib[ok]
+            inter = np.empty(ka.size, dtype=np.int64)
+            for i in range(ka.size):
+                x, y = ka[i], kb[i]
+                inter[i] = np.intersect1d(
+                    b_flat[b_offs[x]:b_offs[x + 1]],
+                    b_flat[b_offs[y]:b_offs[y + 1]],
+                    assume_unique=True).size
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a[ok]), pa.array(bb[ok]), pa.array(inter),
+                 pa.array(na[ok]), pa.array(nb[ok])],
+                ["a", "b", "inter", "na", "nb"])
+
+    ver = cand.mapInArrow(verify, "a long, b long, inter long, na long, nb long")
+    # identical division + ROUND expression to the join path (HALF_UP)
+    jac = F.expr("round(inter / cast(na + nb - inter as double), 6)")
+    return (ver.select("a", "b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 

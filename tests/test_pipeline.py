@@ -441,6 +441,39 @@ def test_simhash_md5_single_evaluation_under_collapse(spark):
     assert wall < 15.0, f"simhash_md5_pairs took {wall:.1f}s on 500 docs"
 
 
+def test_minhash_oph_arrow_verify_matches_jvm_join_path(spark, tmp_path, monkeypatch):
+    """r6 optimization guardrail for the vectorized verify: on a file-backed
+    corpus under the broadcast cap the verify runs as a numpy merge-intersect
+    over a broadcast flat gram-set relation (MapInArrow in the plan); with
+    the kill-switch it runs the JVM array_intersect join path. Both must
+    produce byte-identical (a, b, jaccard) rows — the prune boundary and the
+    half-length ratio band are exercised by the 2× length spread."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the hills ")
+    rows = [(i, base + "tail " + "x y z w " * (i % 5)) for i in range(40)]
+    rows += [(i, base[: len(base) // 2] + f" uniq{i}") for i in range(40, 55)]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(p)
+    docs = spark.read.parquet(p)
+    from simplecrawler_spark import pipeline as pl
+
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_ARROW", "1")
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_ARROW_MIN_BYTES", "0")
+    df_arrow = dedup.minhash_oph_pairs(docs, threshold=0.5)
+    assert "MapInArrow" in df_arrow._jdf.queryExecution().executedPlan().toString()
+    got_arrow = sorted(tuple(r) for r in df_arrow.collect())
+    pl.release_cached()
+
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_ARROW", "0")
+    df_jvm = dedup.minhash_oph_pairs(docs, threshold=0.5)
+    assert "MapInArrow" not in df_jvm._jdf.queryExecution().executedPlan().toString()
+    got_jvm = sorted(tuple(r) for r in df_jvm.collect())
+    pl.release_cached()
+
+    assert len(got_arrow) > 0
+    assert got_arrow == got_jvm
+
+
 def test_minhash_oph_pair_local_verify_replays_reference(spark):
     """r6 optimization guardrail: the pair-LOCAL verify (per-doc gram-hash
     arrays + array_intersect + size-ratio prune) must reproduce the banded-
