@@ -410,7 +410,13 @@ def minhash_oph_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 5,
     # result-identical, the gate is purely a cost model).
     arrow_floor = int(os.environ.get(
         "SPARK_GRAFT_VERIFY_ARROW_MIN_BYTES", str(4 << 20)))
-    if (bcast and est >= arrow_floor
+    # the arrow path's worker schema declares bigint doc ids; any other
+    # id_col type (the API allows strings etc.) keeps the type-generic JVM
+    # join path
+    from pyspark.sql.types import LongType
+
+    id_is_long = isinstance(hashed.schema["_id"].dataType, LongType)
+    if (bcast and id_is_long and est >= arrow_floor
             and os.environ.get("SPARK_GRAFT_VERIFY_ARROW", "1") != "0"):
         return _verify_pairs_arrow(cand, hashed, float(threshold))
     sets = _persist(hashed.groupBy("_id").agg(
@@ -453,17 +459,33 @@ def _verify_pairs_arrow(cand: DataFrame, hashed: DataFrame,
     bit-identical (Python's round is half-even, Spark's HALF_UP — never mix).
 
     Equivalence with the JVM ``size(array_intersect(ha, hb))`` path:
-    the flat values are per-doc sorted + DEDUPLICATED (array_intersect
-    treats the per-doc multiset as a set), counts stay the raw distinct-gram
-    counts, the size-ratio prune uses the identical ``min/max ≥ t − 1e-6``
-    double comparison, and ``np.intersect1d(assume_unique=True)`` over the
-    deduplicated sorted slices counts exactly |A∩B|. Any doc id reaching a
-    candidate pair but absent from the sets relation raises (loud, never a
-    silent wrong count)."""
+    the flat values are per-doc sorted + DEDUPLICATED via
+    ``sort_array(collect_set(h))`` (array_intersect treats the per-doc
+    multiset as a set), counts stay the raw distinct-gram counts
+    (``count(1)``, including theoretical within-doc hash dups), the
+    size-ratio prune uses the identical ``min/max ≥ t − 1e-6`` double
+    comparison, and ``np.intersect1d(assume_unique=True)`` over the sorted
+    unique slices counts exactly |A∩B|. Any doc id reaching a candidate
+    pair but absent from the sets relation raises (loud, never a silent
+    wrong count).
+
+    Lifecycle/laziness: building the relation runs one job + a driver
+    collect at CONSTRUCTION time (like the operator's hot-bucket stats job
+    — the bench's v3 protocol times construction for exactly this reason);
+    the collect transits the driver result channel
+    (``spark.driver.maxResultSize``) bounded by the broadcast cap. The
+    broadcast is registered with the pipeline cache registry, so
+    ``release_cached()`` frees the executor copies like every persisted
+    relation."""
+    from simplecrawler_spark.pipeline import _PERSISTED
+
     spark = cand.sparkSession
-    agg = hashed.groupBy("_id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count(F.lit(1)).alias("ng"))
+    # orderBy + collect_set: ids arrive sorted and slices arrive sorted +
+    # deduped straight from the JVM — no driver-side argsort/gather/dedupe
+    agg = (hashed.groupBy("_id").agg(
+               F.sort_array(F.collect_set("h")).alias("hs"),
+               F.count(F.lit(1)).alias("ng"))
+           .orderBy("_id"))
     tbl = agg.toArrow()
     ids = tbl.column("_id").to_numpy()
     ngs = tbl.column("ng").to_numpy()
@@ -472,28 +494,14 @@ def _verify_pairs_arrow(cand: DataFrame, hashed: DataFrame,
     flat = hs.flatten().to_numpy()
     if ids.size == 0:
         return spark.createDataFrame([], "a long, b long, jaccard double")
-    # sort docs by id so workers can searchsorted; gather flat in id order
-    order = np.argsort(ids, kind="stable")
-    ids_s, ngs_s, lens_s = ids[order], ngs[order], lens[order]
-    offs_src = np.zeros(ids.size + 1, dtype=np.int64)
-    offs_src[1:] = np.cumsum(lens)
-    offs_s = np.zeros(ids.size + 1, dtype=np.int64)
-    offs_s[1:] = np.cumsum(lens_s)
-    gather = (np.arange(offs_s[-1], dtype=np.int64)
-              - np.repeat(offs_s[:-1], lens_s)
-              + np.repeat(offs_src[:-1][order], lens_s))
-    flat_s = flat[gather]
-    # per-slice dedupe (sorted within each doc; every doc has ≥ 1 gram):
-    # array_intersect set semantics need unique elements per doc
-    dup = np.zeros(flat_s.size, dtype=bool)
-    dup[1:] = flat_s[1:] == flat_s[:-1]
-    dup[offs_s[:-1]] = False
-    keep = ~dup
-    flat_d = flat_s[keep]
-    lens_d = np.add.reduceat(keep.astype(np.int64), offs_s[:-1])
-    offs_d = np.zeros(ids.size + 1, dtype=np.int64)
-    offs_d[1:] = np.cumsum(lens_d)
-    bc = spark.sparkContext.broadcast((ids_s, ngs_s, offs_d, flat_d))
+    offs = np.zeros(ids.size + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(lens)
+    bc = spark.sparkContext.broadcast((ids, ngs, offs, flat))
+    # release_cached() calls .unpersist() on registry entries — Broadcast
+    # exposes the same method, so the flat relation shares the persisted
+    # DataFrames' lifecycle (re-execution after release re-ships it from
+    # the driver file; destroy() would break re-execution instead)
+    _PERSISTED.append(bc)
     t_eff = float(threshold) - 1e-6
 
     def verify(batches):

@@ -474,6 +474,28 @@ def test_minhash_oph_arrow_verify_matches_jvm_join_path(spark, tmp_path, monkeyp
     assert got_arrow == got_jvm
 
 
+def test_minhash_oph_non_long_ids_take_jvm_path(spark, tmp_path, monkeypatch):
+    """The arrow verify declares bigint doc ids in its worker schema; any
+    other id type must keep the type-generic JVM join path (and still
+    produce pairs) even when the size gates would otherwise select arrow."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the hills ")
+    rows = [(f"doc-{i:03d}", base + "tail " + "x y z w " * (i % 5))
+            for i in range(30)]
+    p = str(tmp_path / "docs_str.parquet")
+    spark.createDataFrame(rows, "doc_id string, text string").coalesce(1).write.parquet(p)
+    docs = spark.read.parquet(p)
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_ARROW", "1")
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_ARROW_MIN_BYTES", "0")
+    df = dedup.minhash_oph_pairs(docs, threshold=0.5)
+    assert "MapInArrow" not in df._jdf.queryExecution().executedPlan().toString()
+    out = df.collect()
+    from simplecrawler_spark import pipeline as pl
+    pl.release_cached()
+    assert len(out) > 0
+    assert all(isinstance(r["a"], str) for r in out)
+
+
 def test_minhash_oph_pair_local_verify_replays_reference(spark):
     """r6 optimization guardrail: the pair-LOCAL verify (per-doc gram-hash
     arrays + array_intersect + size-ratio prune) must reproduce the banded-
